@@ -1,0 +1,209 @@
+"""Modified Bessel function of the second kind K_nu on TPU.
+
+XLA has no native ``K_nu`` op, but the Matern-nu kernel (reference
+``covModel.h`` Matern class — SURVEY.md section 3.4) needs it for general
+(non-half-integer) smoothness.  This module implements K_nu for real nu >= 0,
+x > 0 with pure elementwise ``jnp`` ops (VPU-friendly, fixed iteration
+counts, no data-dependent control flow):
+
+- ``x <= 2``   : Temme's series for K_mu, K_{mu+1} with mu = frac part of nu,
+- ``x > 2``    : Steed's continued-fraction (CF2) evaluation of the scaled
+                 e^x * K_mu, K_{mu+1},
+- then the forward recurrence K_{nu+1} = K_{nu-1} + (2 nu / x) K_nu, which is
+  stable in the increasing-nu direction.
+
+Both branches are always evaluated (lax.select, not cond) — on TPU the two
+fixed-length elementwise loops are cheap and branchless code vectorizes.
+
+Derivatives: d/dx K_nu = -(K_{nu-1} + K_{nu+1}) / 2 (exact, via custom_jvp);
+d/dnu is supplied by central finite difference (documented approximation —
+only gradient-based sampling of nu uses it; Metropolis moves on nu, the
+reference's semantics, do not).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.special import gammaln
+
+__all__ = ["kv", "kve", "log_kve"]
+
+_EULER_GAMMA = 0.5772156649015329
+_TEMME_ITERS = 40  # series terms for x <= 2 (fp64-clean to ~1e-15 at x=2)
+_CF2_ITERS = 64  # continued-fraction steps for x > 2
+
+# Maximum integer step count for the forward recurrence nu = mu + k.  Bounds
+# supported nu at _MAX_RECUR + 0.5; plenty for Matern smoothness in practice.
+_MAX_RECUR = 32
+
+
+def _rgamma(z):
+    """1 / Gamma(z) for z > 0."""
+    return jnp.exp(-gammaln(z))
+
+
+def _chebyshev_gam(mu):
+    """gam1 = [1/G(1-mu) - 1/G(1+mu)] / (2 mu) and gam2 = their mean,
+    with the analytic mu -> 0 limit gam1 -> euler_gamma."""
+    gampl = _rgamma(1.0 + mu)  # 1/Gamma(1+mu)
+    gammi = _rgamma(1.0 - mu)  # 1/Gamma(1-mu), mu in [0, 0.5] so arg >= 0.5
+    small = jnp.abs(mu) < 1e-6
+    safe_mu = jnp.where(small, 1.0, mu)
+    # 1/Gamma(1-mu) ~ 1 - euler_gamma*mu, 1/Gamma(1+mu) ~ 1 + euler_gamma*mu
+    # => gam1 -> -euler_gamma as mu -> 0.
+    gam1 = jnp.where(small, -_EULER_GAMMA, (gammi - gampl) / (2.0 * safe_mu))
+    gam2 = 0.5 * (gammi + gampl)
+    return gam1, gam2, gampl, gammi
+
+
+def _kv_temme_small(x, mu):
+    """Scaled e^x * (K_mu(x), K_{mu+1}(x)) by Temme's series; valid x <= 2."""
+    dtype = x.dtype
+    x = jnp.maximum(x, jnp.finfo(dtype).tiny)
+    pimu = jnp.pi * mu
+    sin_ratio = jnp.where(
+        jnp.abs(pimu) < 1e-6, 1.0 + pimu * pimu / 6.0, pimu / jnp.sin(pimu)
+    )
+    d = -jnp.log(x / 2.0)
+    e = mu * d
+    sinh_ratio = jnp.where(jnp.abs(e) < 1e-6, 1.0 + e * e / 6.0, jnp.sinh(e) / e)
+    gam1, gam2, gampl, gammi = _chebyshev_gam(mu)
+    ff = sin_ratio * (gam1 * jnp.cosh(e) + gam2 * sinh_ratio * d)
+    ee = jnp.exp(e)
+    p = 0.5 * ee / gampl  # 0.5 * e^{mu d} * Gamma(1+mu)
+    q = 0.5 / (ee * gammi)  # 0.5 * e^{-mu d} * Gamma(1-mu)
+    c = jnp.ones_like(x)
+    dd = 0.25 * x * x
+    ksum = ff
+    ksum1 = p
+
+    def body(i, carry):
+        ff, p, q, c, ksum, ksum1 = carry
+        fi = i.astype(dtype)
+        ff = (fi * ff + p + q) / (fi * fi - mu * mu)
+        c = c * dd / fi
+        p = p / (fi - mu)
+        q = q / (fi + mu)
+        ksum = ksum + c * ff
+        ksum1 = ksum1 + c * (p - fi * ff)
+        return ff, p, q, c, ksum, ksum1
+
+    ff, p, q, c, ksum, ksum1 = lax.fori_loop(
+        1, _TEMME_ITERS + 1, body, (ff, p, q, c, ksum, ksum1)
+    )
+    scale = jnp.exp(x)  # return scaled values; x <= 2 so no overflow
+    return ksum * scale, ksum1 * (2.0 / x) * scale
+
+
+def _kv_cf2_large(x, mu):
+    """Scaled e^x * (K_mu(x), K_{mu+1}(x)) by Steed's CF2; valid x >= 2."""
+    dtype = x.dtype
+    x = jnp.maximum(x, 2.0)  # branch only used for x > 2; clamp for safety
+    b = 2.0 * (1.0 + x)
+    d = 1.0 / b
+    h = d
+    delh = d
+    a1 = 0.25 - mu * mu
+    q1 = jnp.zeros_like(x)
+    q2 = jnp.ones_like(x)
+    a = -a1
+    q = a1
+    c = a1
+    s = 1.0 + q * delh
+
+    def body(i, carry):
+        b, d, h, delh, q1, q2, a, q, c, s = carry
+        fi = i.astype(dtype)
+        a = a - 2.0 * (fi - 1.0)
+        c = -a * c / fi
+        qnew = (q1 - b * q2) / a
+        q1, q2 = q2, qnew
+        q = q + c * qnew
+        b = b + 2.0
+        d = 1.0 / (b + a * d)
+        delh = (b * d - 1.0) * delh
+        h = h + delh
+        s = s + q * delh
+        return b, d, h, delh, q1, q2, a, q, c, s
+
+    b, d, h, delh, q1, q2, a, q, c, s = lax.fori_loop(
+        2, _CF2_ITERS + 2, body, (b, d, h, delh, q1, q2, a, q, c, s)
+    )
+    h = a1 * h
+    # e^x K_mu(x) = sqrt(pi / 2x) / s
+    kmu = jnp.sqrt(jnp.pi / (2.0 * x)) / s
+    kmu1 = kmu * (mu + x + 0.5 - h) / x
+    return kmu, kmu1
+
+
+def _kve_mu_pair(x, mu):
+    """Scaled e^x * (K_mu, K_{mu+1}) for mu in [0, 1), any x > 0."""
+    ks, k1s = _kv_temme_small(jnp.minimum(x, 2.0), mu)
+    kl, k1l = _kv_cf2_large(jnp.maximum(x, 2.0), mu)
+    use_small = x <= 2.0
+    return jnp.where(use_small, ks, kl), jnp.where(use_small, k1s, k1l)
+
+
+def _kve_raw(x, nu):
+    """Scaled e^x * K_nu(x) for nu >= 0 via forward recurrence from mu."""
+    nu = jnp.abs(nu)  # K_{-nu} = K_nu
+    k_steps = jnp.floor(nu).astype(jnp.int32)
+    mu = nu - k_steps.astype(x.dtype)
+    kmu, kmu1 = _kve_mu_pair(x, mu)
+
+    # After j advance steps (km, kp) = (K_{mu+j}, K_{mu+j+1}); K_{mu+k} for
+    # k >= 1 needs k-1 advances then kp.
+    def body(i, carry):
+        km, kp = carry
+        fi = mu + i.astype(x.dtype)
+        knext = km + (2.0 * fi / x) * kp
+        take = i < k_steps  # branchless: advance only while i < k_steps
+        return jnp.where(take, kp, km), jnp.where(take, knext, kp)
+
+    km, kp = lax.fori_loop(1, _MAX_RECUR + 1, body, (kmu, kmu1))
+    return jnp.where(k_steps == 0, kmu, kp)
+
+
+@jax.custom_jvp
+def kve(x, nu):
+    """Exponentially scaled modified Bessel K: e^x * K_nu(x), elementwise."""
+    x, nu = jnp.broadcast_arrays(jnp.asarray(x), jnp.asarray(nu))
+    return _kve_raw(x, nu)
+
+
+def _kve_jvp(primals, tangents):
+    x, nu = primals
+    dx, dnu = tangents
+    x, nu = jnp.broadcast_arrays(jnp.asarray(x), jnp.asarray(nu))
+    out = _kve_raw(x, nu)
+    tangent = jnp.zeros_like(out)
+    if not isinstance(dx, jax.custom_derivatives.SymbolicZero):
+        # d/dx [e^x K_nu] = e^x K_nu - e^x (K_{nu-1} + K_{nu+1}) / 2;
+        # with K_{nu-1} = K_{nu+1} - (2 nu / x) K_nu:
+        kp1 = _kve_raw(x, nu + 1.0)
+        dKdx_scaled = out - (kp1 - (nu / x) * out)
+        tangent = tangent + dKdx_scaled * dx
+    if not isinstance(dnu, jax.custom_derivatives.SymbolicZero):
+        # d/dnu via central finite difference (documented approximation; only
+        # gradient-based moves on nu use this path).
+        h = jnp.asarray(1e-4, x.dtype)
+        dKdnu = (_kve_raw(x, nu + h) - _kve_raw(x, jnp.maximum(nu - h, 0.0))) / (
+            2.0 * h
+        )
+        tangent = tangent + dKdnu * dnu
+    return out, tangent
+
+
+kve.defjvp(_kve_jvp, symbolic_zeros=True)
+
+
+def kv(x, nu):
+    """Modified Bessel function of the second kind K_nu(x), elementwise."""
+    return kve(x, nu) * jnp.exp(-x)
+
+
+def log_kve(x, nu):
+    """log(e^x K_nu(x)) — useful for log-space Matern evaluation."""
+    return jnp.log(kve(x, nu))

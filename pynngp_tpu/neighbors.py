@@ -1,0 +1,274 @@
+"""Host-side neighbor-index construction — TPU-native analog of the
+reference's ``src/utils.cpp`` ``mkNNIndx`` / ``mkNNIndxTree0`` / ``mkUIndx``
+(SURVEY.md section 2, "Neighbor-index builder" row; arrays ``nnIndx``,
+``nnIndxLU``, ``uIndx`` ...).
+
+Key design departure: instead of CSR-style ragged arrays consumed by
+sequential C++ loops, we emit **static-shape** ``(n, m)`` int32 tables plus
+boolean validity masks (site i < m has fewer than m preceding neighbors).
+Static shapes are what let the whole Vecchia build be one batched XLA/Pallas
+computation, and let the table be built exactly once per dataset (it never
+depends on kernel hyperparameters).
+
+The build runs on host (numpy/scipy cKDTree) — a one-time O(n log n)
+preprocessing step, exactly the role the reference gives its C++ tree builder.
+An optional C++ kd-tree (cpp/neighbors.cpp via ctypes) accelerates the same
+computation; results are identical.
+
+Exact blocked algorithm for "m nearest *preceding* neighbors": for a block of
+sites [i0, i0+B), the true m nearest preceding neighbors of site i are a
+subset of (the m nearest within [0, i0), from a kd-tree on those points) union
+(all in-block preceding sites [i0, i)). We merge both candidate sets and keep
+the m smallest distances — no approximation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+try:  # scipy is available in the target image; degrade to brute force if not
+    from scipy.spatial import cKDTree
+
+    _HAVE_SCIPY = True
+except Exception:  # pragma: no cover
+    _HAVE_SCIPY = False
+
+__all__ = [
+    "NeighborTable",
+    "build_neighbor_table",
+    "order_maxmin",
+    "order_by_coordinate",
+    "build_children_table",
+    "color_moral_graph",
+]
+
+
+class NeighborTable(NamedTuple):
+    """Static-shape neighbor structure for n ordered sites, m neighbors.
+
+    Attributes:
+      order:    (n,) permutation; ordered[i] = original[order[i]].
+      inverse_order: (n,) inverse permutation.
+      nn_idx:   (n, m) int32 — indices (into the *ordered* arrays) of the m
+                nearest preceding neighbors of site i; masked slots hold 0.
+      nn_mask:  (n, m) bool — True where the slot is a real neighbor.
+    """
+
+    order: np.ndarray
+    inverse_order: np.ndarray
+    nn_idx: np.ndarray
+    nn_mask: np.ndarray
+
+    @property
+    def n(self) -> int:
+        return self.nn_idx.shape[0]
+
+    @property
+    def m(self) -> int:
+        return self.nn_idx.shape[1]
+
+
+def order_by_coordinate(coords: np.ndarray, axis: int = 0) -> np.ndarray:
+    """Reference-style ordering: sort sites along one coordinate
+    (SURVEY.md section 3.1 'order sites (e.g. by a coordinate)')."""
+    return np.argsort(coords[:, axis], kind="stable")
+
+
+def order_maxmin(coords: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Approximate max-min ordering (better-mixing Vecchia DAG; standard in
+    the Vecchia literature).  Greedy on a subsampled candidate set: O(n k)."""
+    n = coords.shape[0]
+    rng = np.random.default_rng(seed)
+    # Start from the site closest to the centroid.
+    center = coords.mean(axis=0)
+    first = int(np.argmin(((coords - center) ** 2).sum(axis=1)))
+    order = np.empty(n, dtype=np.int64)
+    order[0] = first
+    mindist = ((coords - coords[first]) ** 2).sum(axis=1)
+    mindist[first] = -np.inf
+    k = min(64, n)  # candidate pool per step
+    for i in range(1, n):
+        if n > 4096:
+            # sample candidates biased by current min-distance rank
+            cand = rng.choice(n, size=k, replace=False)
+            nxt = cand[int(np.argmax(mindist[cand]))]
+            # refine with the global argmax occasionally for quality
+            if i % 64 == 0:
+                nxt = int(np.argmax(mindist))
+        else:
+            nxt = int(np.argmax(mindist))
+        order[i] = nxt
+        d = ((coords - coords[nxt]) ** 2).sum(axis=1)
+        np.minimum(mindist, d, out=mindist)
+        mindist[nxt] = -np.inf
+    return order
+
+
+def _pairwise_dist(a: np.ndarray, b: np.ndarray, metric) -> np.ndarray:
+    if metric == "euclidean":
+        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=-1)
+        return np.sqrt(np.maximum(d2, 0.0))
+    if metric == "dotproduct":
+        an = a / np.maximum(np.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+        bn = b / np.maximum(np.linalg.norm(b, axis=-1, keepdims=True), 1e-12)
+        return np.maximum(1.0 - an @ bn.T, 0.0)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def build_neighbor_table(
+    coords: np.ndarray,
+    m: int,
+    ordering: str = "coordinate",
+    metric: str = "euclidean",
+    block_size: int = 2048,
+    seed: int = 0,
+) -> NeighborTable:
+    """Build the (n, m) nearest-preceding-neighbor table.
+
+    Args:
+      coords: (n, d) site coordinates (original order).
+      m: number of neighbors (conditioning-set size).
+      ordering: 'coordinate' (reference semantics), 'maxmin', or 'none'.
+      metric: 'euclidean' (kd-tree accelerated) or 'dotproduct' (blocked brute
+        force — kd-trees do not apply to cosine dissimilarity).
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    n = coords.shape[0]
+    m = int(min(m, n - 1))
+    if ordering == "coordinate":
+        order = order_by_coordinate(coords)
+    elif ordering == "maxmin":
+        order = order_maxmin(coords, seed=seed)
+    elif ordering == "none":
+        order = np.arange(n, dtype=np.int64)
+    else:
+        raise ValueError(f"unknown ordering {ordering!r}")
+    pts = coords[order]
+
+    nn_idx = np.zeros((n, m), dtype=np.int32)
+    nn_mask = np.zeros((n, m), dtype=bool)
+
+    use_tree = _HAVE_SCIPY and metric == "euclidean"
+    for i0 in range(0, n, block_size):
+        i1 = min(i0 + block_size, n)
+        blk = pts[i0:i1]
+        # Candidates from the preceding region [0, i0): m nearest via tree.
+        if i0 > 0:
+            k = min(m, i0)
+            if use_tree:
+                tree = cKDTree(pts[:i0])
+                tdist, tidx = tree.query(blk, k=k, workers=-1)
+                if k == 1:
+                    tdist = tdist[:, None]
+                    tidx = tidx[:, None]
+            else:
+                dmat = _pairwise_dist(blk, pts[:i0], metric)
+                tidx = np.argpartition(dmat, kth=k - 1, axis=1)[:, :k]
+                tdist = np.take_along_axis(dmat, tidx, axis=1)
+        else:
+            tdist = np.full((i1 - i0, 0), np.inf)
+            tidx = np.zeros((i1 - i0, 0), dtype=np.int64)
+        # Candidates from in-block preceding sites [i0, i): all of them.
+        bdist = _pairwise_dist(blk, blk, metric)
+        rows = np.arange(i1 - i0)
+        prec_mask = rows[None, :] < rows[:, None]  # j < i within block
+        bdist = np.where(prec_mask, bdist, np.inf)
+        bidx = np.broadcast_to(np.arange(i0, i1)[None, :], bdist.shape)
+        # Merge and take the m smallest finite distances per site.
+        all_dist = np.concatenate([tdist, bdist], axis=1)
+        all_idx = np.concatenate([tidx, bidx], axis=1)
+        kk = min(m, all_dist.shape[1])
+        if kk > 0:
+            sel = np.argpartition(all_dist, kth=kk - 1, axis=1)[:, :kk]
+            sel_dist = np.take_along_axis(all_dist, sel, axis=1)
+            sel_idx = np.take_along_axis(all_idx, sel, axis=1)
+            # sort selected by distance for determinism
+            srt = np.argsort(sel_dist, axis=1, kind="stable")
+            sel_dist = np.take_along_axis(sel_dist, srt, axis=1)
+            sel_idx = np.take_along_axis(sel_idx, srt, axis=1)
+            valid = np.isfinite(sel_dist)
+            nn_idx[i0:i1, :kk] = np.where(valid, sel_idx, 0).astype(np.int32)
+            nn_mask[i0:i1, :kk] = valid
+
+    inverse = np.empty(n, dtype=np.int64)
+    inverse[order] = np.arange(n)
+    return NeighborTable(
+        order=order, inverse_order=inverse, nn_idx=nn_idx, nn_mask=nn_mask
+    )
+
+
+class ChildrenTable(NamedTuple):
+    """Reverse ('children') index — analog of the reference's ``mkUIndx``
+    arrays ``uIndx``/``uIndxLU``/``uiIndx`` (SURVEY.md section 2), padded to
+    static shape for TPU consumption.
+
+    For the sequential/chromatic Gibbs update of latent w_i we need every j
+    with i in N(j), plus the *slot* of i within N(j).
+    """
+
+    child_idx: np.ndarray  # (n, max_c) int32 — the child sites j
+    child_slot: np.ndarray  # (n, max_c) int32 — position of i in N(j)
+    child_mask: np.ndarray  # (n, max_c) bool
+
+    @property
+    def max_children(self) -> int:
+        return self.child_idx.shape[1]
+
+
+def build_children_table(nn_idx: np.ndarray, nn_mask: np.ndarray) -> ChildrenTable:
+    n, m = nn_idx.shape
+    counts = np.zeros(n, dtype=np.int64)
+    js, slots = np.nonzero(nn_mask)
+    parents = nn_idx[js, slots]
+    np.add.at(counts, parents, 1)
+    max_c = int(counts.max()) if n else 0
+    max_c = max(max_c, 1)
+    child_idx = np.zeros((n, max_c), dtype=np.int32)
+    child_slot = np.zeros((n, max_c), dtype=np.int32)
+    child_mask = np.zeros((n, max_c), dtype=bool)
+    fill = np.zeros(n, dtype=np.int64)
+    for j, s, p in zip(js, slots, parents):
+        k = fill[p]
+        child_idx[p, k] = j
+        child_slot[p, k] = s
+        child_mask[p, k] = True
+        fill[p] = k + 1
+    return ChildrenTable(child_idx, child_slot, child_mask)
+
+
+def color_moral_graph(nn_idx: np.ndarray, nn_mask: np.ndarray) -> np.ndarray:
+    """Greedy coloring of the moral graph of the Vecchia DAG.
+
+    Two sites may be Gibbs-updated simultaneously iff they are non-adjacent in
+    the moral graph (i ~ j if one conditions on the other, or both are parents
+    of a common child).  Used by the chromatic (parallel, exact) latent-w
+    sampler — the TPU replacement for the reference's inherently sequential
+    site-by-site scan (SURVEY.md section 2.1 'Sequential dependency' row).
+
+    Returns (n,) int32 color per site.
+    """
+    n, m = nn_idx.shape
+    adj = [set() for _ in range(n)]
+    for j in range(n):
+        parents = nn_idx[j][nn_mask[j]]
+        for p in parents:
+            adj[j].add(int(p))
+            adj[int(p)].add(j)
+        # moralization: parents of a common child are adjacent
+        for a_i in range(len(parents)):
+            for b_i in range(a_i + 1, len(parents)):
+                a, b = int(parents[a_i]), int(parents[b_i])
+                adj[a].add(b)
+                adj[b].add(a)
+    colors = np.full(n, -1, dtype=np.int32)
+    # color in degree-descending order for fewer colors
+    order = np.argsort([-len(a) for a in adj], kind="stable")
+    for v in order:
+        used = {colors[u] for u in adj[v] if colors[u] >= 0}
+        c = 0
+        while c in used:
+            c += 1
+        colors[v] = c
+    return colors
