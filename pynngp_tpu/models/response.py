@@ -1,0 +1,338 @@
+"""Response NNGP model: y ~ NNGP(Xb, sigma2 (rho_phi + alpha I)) with
+alpha = tau2/sigma2 — the Vecchia approximation applied directly to the noisy
+observation process (SURVEY.md section 0 'Response NNGP'; sampler semantics
+from section 3.2's response-model variant).
+
+Sampler structure (Metropolis-within-Gibbs, reference semantics):
+  - theta = (phi, alpha[, nu]) block: random-walk Metropolis on
+    unconstrained coordinates with prior + Jacobian terms; every proposal
+    triggers the batched B/F rebuild (the reference's hot loop #1);
+  - sigma2: conjugate inverse-gamma (the IG(tau2) prior on tau2 = alpha
+    sigma2 folds into the IG conditional exactly);
+  - beta (fixed effects, optional): conjugate Gaussian via the Vecchia-
+    whitened design (I - B) X — an O(n m p) update, no dense solves;
+  - step sizes adapt (Robbins-Monro to 0.44 acceptance) during burn-in.
+
+Componentwise updates (``joint_theta=False``) follow the reference's
+one-parameter-at-a-time scan; ``joint_theta=True`` does one block proposal
+per iteration (one B/F rebuild instead of k — cheaper on TPU, same
+stationary distribution).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pynngp_tpu.kernels import Matern, get_kernel
+from pynngp_tpu.models.base import prepare_spatial_data, run_chains, run_mcmc
+from pynngp_tpu.priors import InverseGamma, Uniform, log_transform, logit_transform
+from pynngp_tpu.samplers.mwg import (
+    adapt_log_step,
+    rw_joint,
+    rw_sweep,
+    sample_inverse_gamma,
+)
+from pynngp_tpu.vecchia import LOG_2PI, vecchia_bf, vecchia_suffstats
+
+__all__ = ["ResponseNNGP", "ResponseState"]
+
+
+class ResponseState(NamedTuple):
+    theta_u: jax.Array  # (k,) unconstrained (phi, alpha[, nu])
+    sigma2: jax.Array
+    beta: jax.Array  # (p,) fixed effects ((0,) if no X)
+    value: jax.Array  # cached theta-block log-posterior at current state
+    logdet: jax.Array
+    quad: jax.Array
+    b: jax.Array  # (n, m) current kriging weights
+    f: jax.Array  # (n,) current conditional variances
+    log_steps: jax.Array  # (k,) RW proposal scales
+    accept: jax.Array  # (k,) running acceptance-probability sums
+    iteration: jax.Array
+
+
+class ResponseNNGP:
+    """User-facing response-model API (the analog of constructing the
+    reference's ``SeqNNGP`` with a noise-folded covariance)."""
+
+    def __init__(
+        self,
+        coords,
+        y,
+        kernel="sqexp",
+        m: int = 15,
+        x=None,
+        ordering: str = "coordinate",
+        distance: str = "euclidean",
+        priors: Optional[dict] = None,
+        dtype=jnp.float32,
+        jitter: float = 1e-6,
+        joint_theta: bool = False,
+        precompute_distances: bool = True,
+    ):
+        self.kernel = get_kernel(kernel)
+        self.dtype = dtype
+        self.jitter = jitter
+        self.joint_theta = joint_theta
+        self.data = prepare_spatial_data(
+            coords,
+            y,
+            m,
+            x=x,
+            ordering=ordering,
+            distance=distance,
+            dtype=dtype,
+            precompute_distances=precompute_distances,
+        )
+        self.n = self.data.y.shape[0]
+        self.p = 0 if self.data.x is None else self.data.x.shape[1]
+
+        # --- priors (data-informed defaults, overridable) ---
+        coords = np.asarray(coords)
+        span = float(np.max(coords.max(0) - coords.min(0))) if coords.size else 1.0
+        var_y = float(np.var(np.asarray(y))) or 1.0
+        defaults = {
+            "sigma2": InverseGamma(2.0, var_y),
+            "tau2": InverseGamma(2.0, 0.1 * var_y),
+            "phi": Uniform(1e-3 * span, 2.0 * span),
+            "nu": Uniform(0.1, 3.0),
+            "beta_scale": 100.0,
+        }
+        if priors:
+            defaults.update(priors)
+        self.priors = defaults
+
+        # --- Metropolis block layout: [phi, alpha(, nu)] ---
+        self._sample_nu = isinstance(self.kernel, Matern) and self.kernel.static_nu is None
+        self.theta_names = ("phi", "alpha") + (("nu",) if self._sample_nu else ())
+        pp = self.priors["phi"]
+        self._t_phi = logit_transform(pp.lo, pp.hi)
+        self._t_alpha = log_transform
+        if self._sample_nu:
+            pn = self.priors["nu"]
+            self._t_nu = logit_transform(pn.lo, pn.hi)
+
+    # ---- parameter plumbing -------------------------------------------
+    def _natural(self, theta_u):
+        phi = self._t_phi.forward(theta_u[0])
+        alpha = self._t_alpha.forward(theta_u[1])
+        out = {"phi": phi, "alpha": alpha}
+        if self._sample_nu:
+            out["nu"] = self._t_nu.forward(theta_u[2])
+        return out
+
+    def _unconstrained(self, phi, alpha, nu=None):
+        vals = [self._t_phi.inverse(jnp.asarray(phi, self.dtype)),
+                self._t_alpha.inverse(jnp.asarray(alpha, self.dtype))]
+        if self._sample_nu:
+            vals.append(self._t_nu.inverse(jnp.asarray(nu, self.dtype)))
+        return jnp.stack(vals)
+
+    def _kparams(self, nat):
+        kp = {"phi": nat["phi"]}
+        if self._sample_nu:
+            kp["nu"] = nat["nu"]
+        return kp
+
+    def _log_prior_theta(self, theta_u, nat, sigma2):
+        """Prior + Jacobian for the Metropolis block given sigma2.
+
+        tau2 = alpha * sigma2 carries the IG tau2 prior with Jacobian
+        d tau2 / d alpha = sigma2 (reference's 'prior + Jacobian' in the
+        Metropolis log-ratio, SURVEY.md section 3.2)."""
+        lp = self.priors["phi"].logpdf(nat["phi"]) + self._t_phi.log_jac(theta_u[0])
+        tau2 = nat["alpha"] * sigma2
+        lp += (
+            self.priors["tau2"].logpdf(tau2)
+            + jnp.log(sigma2)
+            + self._t_alpha.log_jac(theta_u[1])
+        )
+        if self._sample_nu:
+            lp += self.priors["nu"].logpdf(nat["nu"]) + self._t_nu.log_jac(theta_u[2])
+        return lp
+
+    # ---- likelihood pieces --------------------------------------------
+    def _suffstats(self, theta_u, beta):
+        nat = self._natural(theta_u)
+        b, f = vecchia_bf(
+            self.kernel,
+            self._kparams(nat),
+            self.data.vecchia,
+            alpha=nat["alpha"],
+            jitter=self.jitter,
+        )
+        resid_y = self.data.y if self.p == 0 else self.data.y - self.data.x @ beta
+        logdet, quad, _ = vecchia_suffstats(b, f, resid_y, self.data.vecchia)
+        return b, f, logdet, quad
+
+    def _theta_logpost(self, theta_u, sigma2, beta):
+        b, f, logdet, quad = self._suffstats(theta_u, beta)
+        nat = self._natural(theta_u)
+        value = -0.5 * (logdet + quad / sigma2) + self._log_prior_theta(
+            theta_u, nat, sigma2
+        )
+        return value, {"b": b, "f": f, "logdet": logdet, "quad": quad}
+
+    def loglik(self, state: ResponseState):
+        return -0.5 * (
+            self.n * (LOG_2PI + jnp.log(state.sigma2))
+            + state.logdet
+            + state.quad / state.sigma2
+        )
+
+    # ---- sampler -------------------------------------------------------
+    def init_state(self, key, init: Optional[dict] = None):
+        init = init or {}
+        var_y = jnp.var(self.data.y)
+        pp = self.priors["phi"]
+        theta_u = self._unconstrained(
+            init.get("phi", 0.5 * (pp.lo + pp.hi)),
+            init.get("alpha", 0.1),
+            init.get("nu", 1.0) if self._sample_nu else None,
+        )
+        sigma2 = jnp.asarray(init.get("sigma2", 0.9 * var_y), self.dtype)
+        beta = jnp.zeros((max(self.p, 1),), self.dtype)
+        if self.p and "beta" in init:
+            beta = jnp.asarray(init["beta"], self.dtype)
+        b, f, logdet, quad = self._suffstats(theta_u, beta)
+        nat = self._natural(theta_u)
+        value = -0.5 * (logdet + quad / sigma2) + self._log_prior_theta(
+            theta_u, nat, sigma2
+        )
+        k = len(self.theta_names)
+        return ResponseState(
+            theta_u=theta_u,
+            sigma2=sigma2,
+            beta=beta,
+            value=value,
+            logdet=logdet,
+            quad=quad,
+            b=b,
+            f=f,
+            log_steps=jnp.full((k,), jnp.log(0.1), self.dtype),
+            accept=jnp.zeros((k,), self.dtype),
+            iteration=jnp.zeros((), jnp.int32),
+        )
+
+    def step(self, key, state: ResponseState, n_adapt: int = 10**9):
+        k_theta, k_sig, k_beta = jax.random.split(key, 3)
+
+        # 1. Metropolis block on (phi, alpha[, nu]) | sigma2, beta
+        logpost = lambda u: self._theta_logpost(u, state.sigma2, state.beta)
+        aux = {"b": state.b, "f": state.f, "logdet": state.logdet, "quad": state.quad}
+        sweep = rw_joint if self.joint_theta else rw_sweep
+        theta_u, value, aux, aprobs = sweep(
+            k_theta, state.theta_u, state.value, aux, logpost, state.log_steps
+        )
+        nat = self._natural(theta_u)
+
+        # 2. sigma2 | theta, beta: conjugate IG.  The IG(a_t, b_t) prior on
+        # tau2 = alpha sigma2 contributes (a_t, b_t/alpha) to the conditional.
+        a_s = self.priors["sigma2"].a
+        b_s = self.priors["sigma2"].b
+        a_t = self.priors["tau2"].a
+        b_t = self.priors["tau2"].b
+        sigma2 = sample_inverse_gamma(
+            k_sig,
+            jnp.asarray(a_s + a_t + 0.5 * self.n, self.dtype),
+            b_s + b_t / nat["alpha"] + 0.5 * aux["quad"],
+        )
+
+        # 3. beta | theta, sigma2: conjugate Gaussian via whitened design.
+        beta = state.beta
+        quad = aux["quad"]
+        if self.p:
+            xmat = self.data.x
+            x_nbr = jnp.take(xmat, self.data.vecchia.nn_idx, axis=0)
+            x_nbr = x_nbr * self.data.vecchia.nn_mask[..., None].astype(self.dtype)
+            x_t = xmat - jnp.einsum("nm,nmp->np", aux["b"], x_nbr)  # (I-B)X
+            y_nbr = jnp.take(self.data.y, self.data.vecchia.nn_idx, axis=0)
+            y_nbr = y_nbr * self.data.vecchia.nn_mask.astype(self.dtype)
+            y_t = self.data.y - jnp.sum(aux["b"] * y_nbr, axis=-1)  # (I-B)y
+            d_inv = 1.0 / (sigma2 * aux["f"])
+            prec = x_t.T @ (x_t * d_inv[:, None]) + jnp.eye(self.p, dtype=self.dtype) / (
+                self.priors["beta_scale"] ** 2
+            )
+            rhs = x_t.T @ (y_t * d_inv)
+            chol_p = jnp.linalg.cholesky(prec)
+            mean = jax.scipy.linalg.cho_solve((chol_p, True), rhs)
+            eps = jax.random.normal(k_beta, (self.p,), self.dtype)
+            beta = mean + jax.scipy.linalg.solve_triangular(
+                chol_p.T, eps, lower=False
+            )
+            resid_full = y_t - x_t @ beta
+            quad = jnp.sum(resid_full * resid_full / aux["f"])
+
+        # 4. refresh cached theta-block value for the new (sigma2, beta, quad)
+        value = -0.5 * (aux["logdet"] + quad / sigma2) + self._log_prior_theta(
+            theta_u, nat, sigma2
+        )
+
+        # 5. adaptation bookkeeping
+        log_steps = adapt_log_step(state.log_steps, aprobs, state.iteration, n_adapt)
+        return ResponseState(
+            theta_u=theta_u,
+            sigma2=sigma2,
+            beta=beta,
+            value=value,
+            logdet=aux["logdet"],
+            quad=quad,
+            b=aux["b"],
+            f=aux["f"],
+            log_steps=log_steps,
+            accept=state.accept + aprobs,
+            iteration=state.iteration + 1,
+        )
+
+    def collect(self, state: ResponseState):
+        nat = self._natural(state.theta_u)
+        out = {
+            "sigma2": state.sigma2,
+            "tau2": nat["alpha"] * state.sigma2,
+            "phi": nat["phi"],
+            "loglik": self.loglik(state),
+        }
+        if self._sample_nu:
+            out["nu"] = nat["nu"]
+        if self.p:
+            out["beta"] = state.beta
+        return out
+
+    def sample(
+        self,
+        n_samples: int,
+        n_burn: int = 500,
+        thin: int = 1,
+        n_chains: int = 1,
+        seed: int = 0,
+        init: Optional[dict] = None,
+        jit: bool = True,
+    ):
+        """Run the sampler; returns a dict of posterior draws with leading
+        axes (n_chains, n_samples) (chain axis dropped when n_chains=1)."""
+        key = jax.random.PRNGKey(seed)
+        step = lambda k, s: self.step(k, s, n_adapt=n_burn)
+
+        def runner(key):
+            return run_chains(
+                key,
+                lambda k: self.init_state(k, init),
+                step,
+                self.collect,
+                n_chains,
+                n_samples,
+                n_burn,
+                thin,
+            )
+
+        if jit:
+            runner = jax.jit(runner)
+        state, draws = runner(key)
+        draws = jax.tree.map(np.asarray, draws)
+        if n_chains == 1:
+            draws = jax.tree.map(lambda a: a[0], draws)
+        return draws

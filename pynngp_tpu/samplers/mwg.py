@@ -1,0 +1,101 @@
+"""Metropolis-within-Gibbs primitives — the TPU rebuild of the reference's
+sampler loop (``SeqNNGP::sample`` / ``updateTheta`` / ``updateTauSq`` /
+``updateSigmaSq``, SURVEY.md section 3.2).
+
+The reference drives one sequential C++ loop; here every piece is a pure
+function of (key, state) so the whole chain runs inside ``lax.scan`` on
+device, chains vectorize with ``vmap``, and devices shard chains
+(SURVEY.md section 2.1, data-parallel row).
+
+Componentwise random-walk Metropolis on unconstrained coordinates matches
+the reference's log-scale RW with prior + Jacobian terms; each component
+acceptance triggers a fresh Vecchia B/F rebuild — exactly the reference's
+cost profile (hot loop #1 per proposal).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "sample_inverse_gamma",
+    "rw_sweep",
+    "rw_joint",
+    "adapt_log_step",
+]
+
+
+def sample_inverse_gamma(key, a, b):
+    """Draw from IG(shape=a, scale=b): if X ~ Gamma(a, rate=b) then 1/X ~ IG."""
+    g = jax.random.gamma(key, a)
+    return b / g
+
+
+def _mh_accept(key, log_ratio):
+    u = jax.random.uniform(key, dtype=log_ratio.dtype)
+    accept = jnp.log(u) < log_ratio
+    accept_prob = jnp.minimum(jnp.exp(jnp.minimum(log_ratio, 0.0)), 1.0)
+    return accept, accept_prob
+
+
+def rw_sweep(
+    key,
+    theta_u,
+    value,
+    aux,
+    logpost_fn: Callable,
+    log_steps,
+):
+    """One componentwise random-walk Metropolis sweep.
+
+    Args:
+      theta_u: (k,) unconstrained parameter vector.
+      value: current log-posterior value (matching theta_u).
+      aux: cached auxiliary pytree from logpost_fn at theta_u (e.g. Vecchia
+        sufficient statistics, reused by conjugate updates).
+      logpost_fn: theta_u -> (logpost, aux); includes priors + Jacobians.
+      log_steps: (k,) log proposal standard deviations.
+
+    Returns (theta_u, value, aux, accept_probs) after k sub-updates.
+    The k components are updated sequentially (reference semantics); k is
+    static so the loop unrolls at trace time.
+    """
+    k = theta_u.shape[0]
+    accept_probs = []
+    for i in range(k):
+        key, k_prop, k_acc = jax.random.split(key, 3)
+        eps = jax.random.normal(k_prop, dtype=theta_u.dtype)
+        prop = theta_u.at[i].add(jnp.exp(log_steps[i]) * eps)
+        prop_value, prop_aux = logpost_fn(prop)
+        accept, aprob = _mh_accept(k_acc, prop_value - value)
+        theta_u = jnp.where(accept, prop, theta_u)
+        value = jnp.where(accept, prop_value, value)
+        aux = jax.tree.map(
+            lambda p, c: jnp.where(accept, p, c), prop_aux, aux
+        )
+        accept_probs.append(aprob)
+    return theta_u, value, aux, jnp.stack(accept_probs)
+
+
+def rw_joint(key, theta_u, value, aux, logpost_fn, log_steps):
+    """Joint random-walk Metropolis update (one B/F rebuild per iteration —
+    the cheaper alternative the reference cannot express)."""
+    k_prop, k_acc = jax.random.split(key)
+    eps = jax.random.normal(k_prop, theta_u.shape, dtype=theta_u.dtype)
+    prop = theta_u + jnp.exp(log_steps) * eps
+    prop_value, prop_aux = logpost_fn(prop)
+    accept, aprob = _mh_accept(k_acc, prop_value - value)
+    theta_u = jnp.where(accept, prop, theta_u)
+    value = jnp.where(accept, prop_value, value)
+    aux = jax.tree.map(lambda p, c: jnp.where(accept, p, c), prop_aux, aux)
+    return theta_u, value, aux, jnp.full(theta_u.shape, aprob)
+
+
+def adapt_log_step(log_steps, accept_probs, iteration, n_adapt, target=0.44):
+    """Diminishing Robbins-Monro adaptation of RW step sizes during burn-in."""
+    gamma = (iteration.astype(log_steps.dtype) + 1.0) ** -0.6
+    adapting = (iteration < n_adapt).astype(log_steps.dtype)
+    return log_steps + adapting * gamma * (accept_probs - target)
