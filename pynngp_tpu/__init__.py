@@ -35,10 +35,13 @@ tests                        tests/
 
 __version__ = "0.1.0"
 
-from pynngp_tpu import distance, kernels, neighbors, noise, vecchia
+from pynngp_tpu import diagnostics, distance, kernels, neighbors, noise, vecchia
+from pynngp_tpu.diagnostics import summarize
 from pynngp_tpu.distance import DotProduct, Euclidean
 from pynngp_tpu.kernels import Exponential, Matern, Spherical, SqExp
+from pynngp_tpu.models import LatentNNGP, ResponseNNGP, SeqNNGP
 from pynngp_tpu.neighbors import NeighborTable, build_neighbor_table
+from pynngp_tpu.predict import build_prediction_table, predict_draws
 from pynngp_tpu.vecchia import (
     VecchiaData,
     make_vecchia_data,
@@ -47,6 +50,7 @@ from pynngp_tpu.vecchia import (
 )
 
 __all__ = [
+    "diagnostics",
     "distance",
     "kernels",
     "neighbors",
@@ -64,4 +68,10 @@ __all__ = [
     "make_vecchia_data",
     "vecchia_bf",
     "vecchia_loglik",
+    "LatentNNGP",
+    "ResponseNNGP",
+    "SeqNNGP",
+    "build_prediction_table",
+    "predict_draws",
+    "summarize",
 ]

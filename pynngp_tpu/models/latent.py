@@ -1,0 +1,456 @@
+"""Latent-w NNGP model: y_i = x_i'beta + w_i + eps_i, eps ~ N(0, tau2),
+w ~ NNGP(0, sigma2 rho_phi) — the reference's main model (SURVEY.md
+section 0 'Latent NNGP'; update equations section 3.2).
+
+Sampler structure (Metropolis-within-Gibbs, reference semantics):
+  - w: site-by-site Gibbs.  Two TPU implementations, same stationary law:
+      * ``w_update='sequential'``: exact reference semantics — a
+        ``lax.scan`` over sites with per-site dynamic gathers (the
+        reference's inherently sequential scan, SURVEY.md section 2.1);
+        kept as the semantics oracle.
+      * ``w_update='chromatic'`` (default): exact chromatic Gibbs — sites
+        are colored on the moral graph (host-side, once); all sites of one
+        color are conditionally independent given the rest and update
+        simultaneously as fixed-shape vectorized VPU work.  ~#colors
+        passes instead of n sequential steps.
+  - sigma2: conjugate IG from the Vecchia quadratic form of w
+    (reference ``updateSigmaSq``);
+  - tau2: conjugate IG from the measurement residuals (``updateTauSq``);
+  - beta: conjugate Gaussian linear model on y - w;
+  - phi (and nu): random-walk Metropolis with B/F rebuild per proposal
+    (``updateTheta`` — hot loop #1).
+
+The per-site conditional (SURVEY.md section 3.2 updateW):
+  v_i  = [ 1/tau2 + 1/(s2 F_i) + sum_j B_{j,l}^2/(s2 F_j) ]^{-1}
+  mu_i = v_i [ (y_i - x_i'b)/tau2 + B_i.w_{N(i)}/(s2 F_i)
+               + sum_j B_{j,l} (w_j - sum_{k != l} B_{j,k} w_{N(j)_k})/(s2 F_j) ]
+where j ranges over the children of i (sites conditioning on i).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from pynngp_tpu.kernels import Matern, get_kernel
+from pynngp_tpu.models.base import prepare_spatial_data, run_chains
+from pynngp_tpu.neighbors import (
+    build_children_table,
+    color_moral_graph,
+    color_site_table,
+)
+from pynngp_tpu.priors import InverseGamma, Uniform, logit_transform
+from pynngp_tpu.samplers.mwg import adapt_log_step, rw_sweep, sample_inverse_gamma
+from pynngp_tpu.vecchia import LOG_2PI, vecchia_bf, vecchia_suffstats
+
+__all__ = ["LatentNNGP", "LatentState"]
+
+
+class LatentState(NamedTuple):
+    theta_u: jax.Array  # (k,) unconstrained (phi[, nu])
+    sigma2: jax.Array
+    tau2: jax.Array
+    beta: jax.Array
+    w: jax.Array  # (n,) latent surface
+    value: jax.Array  # cached theta-block log-posterior
+    logdet: jax.Array  # unit-process sum log F
+    quad_w: jax.Array  # sum (w_i - B_i w_N)^2 / F_i
+    b: jax.Array
+    f: jax.Array
+    log_steps: jax.Array
+    accept: jax.Array
+    iteration: jax.Array
+
+
+class LatentNNGP:
+    def __init__(
+        self,
+        coords,
+        y,
+        kernel="exponential",
+        m: int = 15,
+        x=None,
+        ordering: str = "coordinate",
+        distance: str = "euclidean",
+        priors: Optional[dict] = None,
+        dtype=jnp.float32,
+        jitter: float = 1e-6,
+        w_update: str = "chromatic",
+        precompute_distances: bool = True,
+    ):
+        assert w_update in ("chromatic", "sequential")
+        self.kernel = get_kernel(kernel)
+        self.dtype = dtype
+        self.jitter = jitter
+        self.w_update = w_update
+        self.data = prepare_spatial_data(
+            coords, y, m, x=x, ordering=ordering, distance=distance, dtype=dtype,
+            precompute_distances=precompute_distances,
+        )
+        self.n = self.data.y.shape[0]
+        self.m = self.data.vecchia.m
+        self.p = 0 if self.data.x is None else self.data.x.shape[1]
+
+        tab = self.data.table
+        ch = build_children_table(tab.nn_idx, tab.nn_mask)
+        self.child_idx = jnp.asarray(ch.child_idx)
+        self.child_slot = jnp.asarray(ch.child_slot)
+        self.child_mask = jnp.asarray(ch.child_mask)
+        colors = color_moral_graph(tab.nn_idx, tab.nn_mask)
+        self.n_colors = int(colors.max()) + 1
+        self.colors = jnp.asarray(colors)
+        sites, smask = color_site_table(colors)
+        self.color_sites = jnp.asarray(sites)  # (n_colors, max_sz)
+        self.color_smask = jnp.asarray(smask)
+
+        coords = np.asarray(coords)
+        span = float(np.max(coords.max(0) - coords.min(0))) if coords.size else 1.0
+        var_y = float(np.var(np.asarray(y))) or 1.0
+        defaults = {
+            "sigma2": InverseGamma(2.0, var_y),
+            "tau2": InverseGamma(2.0, 0.1 * var_y),
+            "phi": Uniform(1e-3 * span, 2.0 * span),
+            "nu": Uniform(0.1, 3.0),
+            "beta_scale": 100.0,
+        }
+        if priors:
+            defaults.update(priors)
+        self.priors = defaults
+
+        self._sample_nu = isinstance(self.kernel, Matern) and self.kernel.static_nu is None
+        self.theta_names = ("phi",) + (("nu",) if self._sample_nu else ())
+        pp = self.priors["phi"]
+        self._t_phi = logit_transform(pp.lo, pp.hi)
+        if self._sample_nu:
+            pn = self.priors["nu"]
+            self._t_nu = logit_transform(pn.lo, pn.hi)
+
+    # ---- parameter plumbing -------------------------------------------
+    def _natural(self, theta_u):
+        out = {"phi": self._t_phi.forward(theta_u[0])}
+        if self._sample_nu:
+            out["nu"] = self._t_nu.forward(theta_u[1])
+        return out
+
+    def _unconstrained(self, phi, nu=None):
+        vals = [self._t_phi.inverse(jnp.asarray(phi, self.dtype))]
+        if self._sample_nu:
+            vals.append(self._t_nu.inverse(jnp.asarray(nu, self.dtype)))
+        return jnp.stack(vals)
+
+    def _log_prior_theta(self, theta_u, nat):
+        lp = self.priors["phi"].logpdf(nat["phi"]) + self._t_phi.log_jac(theta_u[0])
+        if self._sample_nu:
+            lp += self.priors["nu"].logpdf(nat["nu"]) + self._t_nu.log_jac(theta_u[1])
+        return lp
+
+    def _mean(self, beta):
+        return 0.0 if self.p == 0 else self.data.x @ beta
+
+    # ---- w full-conditional pieces ------------------------------------
+    def conditional_moments(self, w, b, f, sigma2, tau2, beta):
+        """Vectorized (mu_i, v_i) of every site's full conditional given the
+        *current* w — used by the chromatic update and by tests comparing
+        against the gold joint-precision derivation."""
+        vd = self.data.vecchia
+        fprec = 1.0 / (sigma2 * f)  # (n,)
+        w_nbr = jnp.take(w, vd.nn_idx, axis=0) * vd.nn_mask.astype(w.dtype)
+        mu_own = jnp.sum(b * w_nbr, axis=-1)  # B_i . w_N(i)
+        resid = w - mu_own  # (n,) full residual of every site
+        cmask = self.child_mask.astype(w.dtype)
+        b_child = jnp.take_along_axis(
+            jnp.take(b, self.child_idx, axis=0), self.child_slot[..., None], axis=-1
+        )[..., 0] * cmask  # (n, max_c): B_{j, l(i,j)}
+        fp_child = jnp.take(fprec, self.child_idx) * cmask
+        resid_child = jnp.take(resid, self.child_idx)
+        # exclude i's own contribution from child j's residual
+        resid_excl = resid_child + b_child * w[:, None]
+        prec = 1.0 / tau2 + fprec + jnp.sum(b_child * b_child * fp_child, axis=-1)
+        rhs = (
+            (self.data.y - self._mean(beta)) / tau2
+            + mu_own * fprec
+            + jnp.sum(b_child * fp_child * resid_excl, axis=-1)
+        )
+        v = 1.0 / prec
+        return v * rhs, v
+
+    def _update_w_chromatic(self, key, w, b, f, sigma2, tau2, beta):
+        """Exact chromatic Gibbs sweep, one color class at a time.
+
+        All w-independent quantities — including the entire conditional
+        precision vector — are hoisted out of the color loop; each pass
+        touches only its (padded, balanced) color class, and the residual
+        vector r_j = w_j - B_j . w_N(j) is maintained incrementally by
+        collision-free scatters (a proper moral-graph coloring guarantees no
+        two same-color sites share a child or condition on one another)."""
+        vd = self.data.vecchia
+        fprec = 1.0 / (sigma2 * f)  # (n,)
+        ytil = (self.data.y - self._mean(beta)) / tau2
+        cmask = self.child_mask.astype(w.dtype)
+        b_child = jnp.take_along_axis(
+            jnp.take(b, self.child_idx, axis=0), self.child_slot[..., None], axis=-1
+        )[..., 0] * cmask  # (n, max_c): B_{j, l(i,j)}
+        fp_child = jnp.take(fprec, self.child_idx) * cmask
+        prec = 1.0 / tau2 + fprec + jnp.sum(b_child * b_child * fp_child, axis=-1)
+        v = 1.0 / prec
+        sd = jnp.sqrt(v)
+        nmaskf = vd.nn_mask.astype(w.dtype)
+        w_nbr = jnp.take(w, vd.nn_idx, axis=0) * nmaskf
+        resid = w - jnp.sum(b * w_nbr, axis=-1)
+        eps = jax.random.normal(key, w.shape, w.dtype)
+
+        def color_pass(carry, c):
+            w, resid = carry
+            sites = self.color_sites[c]  # (max_sz,)
+            smask = self.color_smask[c].astype(w.dtype)
+            nn_s = vd.nn_idx[sites]  # (max_sz, m)
+            nm_s = vd.nn_mask[sites].astype(w.dtype)
+            mu_own = jnp.sum(b[sites] * jnp.take(w, nn_s) * nm_s, axis=-1)
+            ci_s = self.child_idx[sites]  # (max_sz, max_c)
+            bc_s = b_child[sites]
+            fp_s = fp_child[sites]
+            w_s = w[sites]
+            resid_excl = jnp.take(resid, ci_s) + bc_s * w_s[:, None]
+            rhs = ytil[sites] + mu_own * fprec[sites] + jnp.sum(
+                bc_s * fp_s * resid_excl, axis=-1
+            )
+            w_new = v[sites] * rhs + sd[sites] * eps[sites]
+            delta = (w_new - w_s) * smask  # pad slots contribute 0
+            w = w.at[sites].add(delta)
+            resid = resid.at[sites].add(delta)
+            # each child j of a color-c site has exactly one parent in c
+            resid = resid.at[ci_s].add(-bc_s * delta[:, None])
+            return (w, resid), None
+
+        (w, _), _ = lax.scan(color_pass, (w, resid), jnp.arange(self.n_colors))
+        return w
+
+    def _update_w_sequential(self, key, w, b, f, sigma2, tau2, beta):
+        """Exact reference semantics: site-by-site scan (SURVEY.md sec 3.2)."""
+        vd = self.data.vecchia
+        fprec = 1.0 / (sigma2 * f)
+        ytil = self.data.y - self._mean(beta)
+        eps = jax.random.normal(key, w.shape, w.dtype)
+
+        def site(w, i):
+            nbr = vd.nn_idx[i]
+            msk = vd.nn_mask[i].astype(w.dtype)
+            mu_own = jnp.sum(b[i] * w[nbr] * msk)
+            cj = self.child_idx[i]
+            cs = self.child_slot[i]
+            cm = self.child_mask[i].astype(w.dtype)
+            b_child = b[cj, cs] * cm  # (max_c,)
+            fp_child = fprec[cj] * cm
+            # child residual excluding i (recomputed from current w)
+            w_cn = jnp.take(w, vd.nn_idx[cj]) * vd.nn_mask[cj].astype(w.dtype)
+            resid_child = w[cj] - jnp.sum(b[cj] * w_cn, axis=-1)
+            resid_excl = resid_child + b_child * w[i]
+            prec = 1.0 / tau2 + fprec[i] + jnp.sum(b_child * b_child * fp_child)
+            rhs = ytil[i] / tau2 + mu_own * fprec[i] + jnp.sum(
+                b_child * fp_child * resid_excl
+            )
+            v = 1.0 / prec
+            w = w.at[i].set(v * rhs + jnp.sqrt(v) * eps[i])
+            return w, None
+
+        w, _ = lax.scan(site, w, jnp.arange(self.n))
+        return w
+
+    # ---- likelihood pieces --------------------------------------------
+    def _suffstats(self, theta_u, w):
+        nat = self._natural(theta_u)
+        kp = {"phi": nat["phi"]}
+        if self._sample_nu:
+            kp["nu"] = nat["nu"]
+        b, f = vecchia_bf(
+            self.kernel, kp, self.data.vecchia, alpha=0.0, jitter=self.jitter
+        )
+        logdet, quad, _ = vecchia_suffstats(b, f, w, self.data.vecchia)
+        return b, f, logdet, quad
+
+    def _theta_logpost(self, theta_u, w, sigma2):
+        b, f, logdet, quad = self._suffstats(theta_u, w)
+        nat = self._natural(theta_u)
+        value = -0.5 * (logdet + quad / sigma2) + self._log_prior_theta(theta_u, nat)
+        return value, {"b": b, "f": f, "logdet": logdet, "quad": quad}
+
+    def loglik(self, state: LatentState):
+        """Marginal-ish record: p(y | w, tau2) + p(w | theta, sigma2)."""
+        r = self.data.y - self._mean(state.beta) - state.w
+        ll_y = -0.5 * (
+            self.n * (LOG_2PI + jnp.log(state.tau2)) + jnp.sum(r * r) / state.tau2
+        )
+        ll_w = -0.5 * (
+            self.n * (LOG_2PI + jnp.log(state.sigma2))
+            + state.logdet
+            + state.quad_w / state.sigma2
+        )
+        return ll_y + ll_w
+
+    # ---- sampler -------------------------------------------------------
+    def init_state(self, key, init: Optional[dict] = None):
+        init = init or {}
+        var_y = jnp.var(self.data.y)
+        pp = self.priors["phi"]
+        theta_u = self._unconstrained(
+            init.get("phi", 0.5 * (pp.lo + pp.hi)),
+            init.get("nu", 1.0) if self._sample_nu else None,
+        )
+        sigma2 = jnp.asarray(init.get("sigma2", 0.5 * var_y), self.dtype)
+        tau2 = jnp.asarray(init.get("tau2", 0.1 * var_y), self.dtype)
+        beta = jnp.zeros((max(self.p, 1),), self.dtype)
+        if self.p and "beta" in init:
+            beta = jnp.asarray(init["beta"], self.dtype)
+        w = jnp.asarray(
+            init.get("w", np.zeros(self.n)), self.dtype
+        )
+        b, f, logdet, quad = self._suffstats(theta_u, w)
+        nat = self._natural(theta_u)
+        value = -0.5 * (logdet + quad / sigma2) + self._log_prior_theta(theta_u, nat)
+        k = len(self.theta_names)
+        return LatentState(
+            theta_u=theta_u,
+            sigma2=sigma2,
+            tau2=tau2,
+            beta=beta,
+            w=w,
+            value=value,
+            logdet=logdet,
+            quad_w=quad,
+            b=b,
+            f=f,
+            log_steps=jnp.full((k,), jnp.log(0.1), self.dtype),
+            accept=jnp.zeros((k,), self.dtype),
+            iteration=jnp.zeros((), jnp.int32),
+        )
+
+    def step(self, key, state: LatentState, n_adapt: int = 10**9):
+        k_w, k_sig, k_tau, k_beta, k_theta = jax.random.split(key, 5)
+        vd = self.data.vecchia
+
+        # 1. w | rest (reference updateW)
+        upd = (
+            self._update_w_chromatic
+            if self.w_update == "chromatic"
+            else self._update_w_sequential
+        )
+        w = upd(k_w, state.w, state.b, state.f, state.sigma2, state.tau2, state.beta)
+
+        # 2. sigma2 | w, theta (reference updateSigmaSq): quad of w under unit B/F
+        w_nbr = jnp.take(w, vd.nn_idx, axis=0) * vd.nn_mask.astype(w.dtype)
+        resid_w = w - jnp.sum(state.b * w_nbr, axis=-1)
+        quad_w = jnp.sum(resid_w * resid_w / state.f)
+        pr_s = self.priors["sigma2"]
+        sigma2 = sample_inverse_gamma(
+            k_sig,
+            jnp.asarray(pr_s.a + 0.5 * self.n, self.dtype),
+            pr_s.b + 0.5 * quad_w,
+        )
+
+        # 3. tau2 | w, beta (reference updateTauSq)
+        r = self.data.y - self._mean(state.beta) - w
+        pr_t = self.priors["tau2"]
+        tau2 = sample_inverse_gamma(
+            k_tau,
+            jnp.asarray(pr_t.a + 0.5 * self.n, self.dtype),
+            pr_t.b + 0.5 * jnp.sum(r * r),
+        )
+
+        # 4. beta | w, tau2: conjugate linear model on y - w
+        beta = state.beta
+        if self.p:
+            xmat = self.data.x
+            prec = xmat.T @ xmat / tau2 + jnp.eye(self.p, dtype=self.dtype) / (
+                self.priors["beta_scale"] ** 2
+            )
+            rhs = xmat.T @ (self.data.y - w) / tau2
+            chol_p = jnp.linalg.cholesky(prec)
+            mean = jax.scipy.linalg.cho_solve((chol_p, True), rhs)
+            eps = jax.random.normal(k_beta, (self.p,), self.dtype)
+            beta = mean + jax.scipy.linalg.solve_triangular(chol_p.T, eps, lower=False)
+
+        # 5. theta | w, sigma2 (reference updateTheta): RW Metropolis
+        value = -0.5 * (state.logdet + quad_w / sigma2) + self._log_prior_theta(
+            state.theta_u, self._natural(state.theta_u)
+        )
+        aux = {"b": state.b, "f": state.f, "logdet": state.logdet, "quad": quad_w}
+        logpost = lambda u: self._theta_logpost(u, w, sigma2)
+        theta_u, value, aux, aprobs = rw_sweep(
+            k_theta, state.theta_u, value, aux, logpost, state.log_steps
+        )
+
+        log_steps = adapt_log_step(state.log_steps, aprobs, state.iteration, n_adapt)
+        return LatentState(
+            theta_u=theta_u,
+            sigma2=sigma2,
+            tau2=tau2,
+            beta=beta,
+            w=w,
+            value=value,
+            logdet=aux["logdet"],
+            quad_w=aux["quad"],
+            b=aux["b"],
+            f=aux["f"],
+            log_steps=log_steps,
+            accept=state.accept + aprobs,
+            iteration=state.iteration + 1,
+        )
+
+    def collect(self, state: LatentState, collect_w: bool = False):
+        nat = self._natural(state.theta_u)
+        out = {
+            "sigma2": state.sigma2,
+            "tau2": state.tau2,
+            "phi": nat["phi"],
+            "loglik": self.loglik(state),
+        }
+        if self._sample_nu:
+            out["nu"] = nat["nu"]
+        if self.p:
+            out["beta"] = state.beta
+        if collect_w:
+            out["w"] = state.w
+        return out
+
+    def sample(
+        self,
+        n_samples: int,
+        n_burn: int = 500,
+        thin: int = 1,
+        n_chains: int = 1,
+        seed: int = 0,
+        init: Optional[dict] = None,
+        collect_w: bool = True,
+        jit: bool = True,
+    ):
+        key = jax.random.PRNGKey(seed)
+        step = lambda k, s: self.step(k, s, n_adapt=n_burn)
+        collect = lambda s: self.collect(s, collect_w=collect_w)
+
+        def runner(key):
+            return run_chains(
+                key,
+                lambda k: self.init_state(k, init),
+                step,
+                collect,
+                n_chains,
+                n_samples,
+                n_burn,
+                thin,
+            )
+
+        if jit:
+            runner = jax.jit(runner)
+        state, draws = runner(key)
+        draws = jax.tree.map(np.asarray, draws)
+        if n_chains == 1:
+            draws = jax.tree.map(lambda a: a[0], draws)
+        # report w in the user's original site order
+        if collect_w:
+            inv = self.data.table.inverse_order
+            draws["w"] = draws["w"][..., inv]
+        return draws

@@ -238,7 +238,9 @@ def build_children_table(nn_idx: np.ndarray, nn_mask: np.ndarray) -> ChildrenTab
     return ChildrenTable(child_idx, child_slot, child_mask)
 
 
-def color_moral_graph(nn_idx: np.ndarray, nn_mask: np.ndarray) -> np.ndarray:
+def color_moral_graph(
+    nn_idx: np.ndarray, nn_mask: np.ndarray, balanced: bool = True
+) -> np.ndarray:
     """Greedy coloring of the moral graph of the Vecchia DAG.
 
     Two sites may be Gibbs-updated simultaneously iff they are non-adjacent in
@@ -246,6 +248,11 @@ def color_moral_graph(nn_idx: np.ndarray, nn_mask: np.ndarray) -> np.ndarray:
     of a common child).  Used by the chromatic (parallel, exact) latent-w
     sampler — the TPU replacement for the reference's inherently sequential
     site-by-site scan (SURVEY.md section 2.1 'Sequential dependency' row).
+
+    With ``balanced=True`` each vertex takes the least-loaded legal color, so
+    color classes have near-equal size — the padded per-color site tables the
+    TPU update uses then waste no work (total padded size ~ n instead of
+    n_colors * max_class).
 
     Returns (n,) int32 color per site.
     """
@@ -263,12 +270,38 @@ def color_moral_graph(nn_idx: np.ndarray, nn_mask: np.ndarray) -> np.ndarray:
                 adj[a].add(b)
                 adj[b].add(a)
     colors = np.full(n, -1, dtype=np.int32)
+    counts: list = []
     # color in degree-descending order for fewer colors
     order = np.argsort([-len(a) for a in adj], kind="stable")
     for v in order:
         used = {colors[u] for u in adj[v] if colors[u] >= 0}
-        c = 0
-        while c in used:
-            c += 1
+        if balanced:
+            legal = [c for c in range(len(counts)) if c not in used]
+            if legal:
+                c = min(legal, key=lambda cc: counts[cc])
+            else:
+                c = len(counts)
+                counts.append(0)
+        else:
+            c = 0
+            while c in used:
+                c += 1
+            while c >= len(counts):
+                counts.append(0)
         colors[v] = c
+        counts[c] += 1
     return colors
+
+
+def color_site_table(colors: np.ndarray):
+    """Pad color classes to a static (n_colors, max_size) site table + mask
+    (pad slots point at site 0 with mask False)."""
+    n_colors = int(colors.max()) + 1
+    groups = [np.nonzero(colors == c)[0] for c in range(n_colors)]
+    max_sz = max(len(g) for g in groups)
+    sites = np.zeros((n_colors, max_sz), dtype=np.int32)
+    mask = np.zeros((n_colors, max_sz), dtype=bool)
+    for c, g in enumerate(groups):
+        sites[c, : len(g)] = g
+        mask[c, : len(g)] = True
+    return sites, mask
