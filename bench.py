@@ -1,0 +1,117 @@
+"""Benchmark: NNGP Vecchia log-likelihood evals/sec at n=100k, m=15 on one
+TPU chip (the BASELINE.json primary metric).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md: "published": {})
+and its binary is unavailable, so the denominator is a documented estimate of
+the reference C++/Eigen/OpenMP updateBF throughput at this config: n*m^3/3
+flops per eval (~0.1 GFLOP posted at ~4 GFLOP/s effective for 8-thread
+small-matrix Eigen) => ~40 evals/sec.  Conservative (generous to the
+reference); revisit if real reference numbers ever appear.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_EVALS_PER_SEC_ESTIMATE = 40.0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=100_000)
+    p.add_argument("--m", type=int, default=15)
+    p.add_argument("--evals-per-call", type=int, default=20)
+    p.add_argument("--calls", type=int, default=5)
+    p.add_argument("--quick", action="store_true", help="tiny config smoke run")
+    args = p.parse_args()
+    if args.quick:
+        args.n, args.calls = 10_000, 2
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    import pynngp_tpu as pn
+
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(size=(args.n, 2))
+    y = rng.standard_normal(args.n)
+
+    t0 = time.time()
+    data, tab = pn.make_vecchia_data(coords, args.m)
+    y_dev = jnp.asarray(y[tab.order], jnp.float32)
+    setup_s = time.time() - t0
+    kern = pn.SqExp()
+    k_evals = args.evals_per_call
+
+    @jax.jit
+    def many_evals(phis):
+        def body(acc, phi):
+            ll = pn.vecchia_loglik(
+                kern, {"phi": phi}, data, y_dev, jnp.float32(1.0), alpha=0.1
+            )
+            return acc + ll, None
+
+        acc, _ = lax.scan(body, jnp.float32(0.0), phis)
+        return acc
+
+    @jax.jit
+    def many_grad_evals(phis):
+        def one(phi):
+            return pn.vecchia_loglik(
+                kern, {"phi": phi}, data, y_dev, jnp.float32(1.0), alpha=0.1
+            )
+
+        def body(acc, phi):
+            v, g = jax.value_and_grad(one)(phi)
+            return acc + v + g, None
+
+        acc, _ = lax.scan(body, jnp.float32(0.0), phis)
+        return acc
+
+    phis = jnp.linspace(0.2, 0.4, k_evals)
+    t0 = time.time()
+    many_evals(phis).block_until_ready()
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for i in range(args.calls):
+        r = many_evals(phis + 0.001 * i)
+    r.block_until_ready()
+    dt = time.time() - t0
+    evals_per_sec = args.calls * k_evals / dt
+
+    many_grad_evals(phis).block_until_ready()
+    t0 = time.time()
+    for i in range(args.calls):
+        r = many_grad_evals(phis + 0.001 * i)
+    r.block_until_ready()
+    dtg = time.time() - t0
+    grad_evals_per_sec = args.calls * k_evals / dtg
+
+    print(
+        f"# n={args.n} m={args.m} setup={setup_s:.1f}s compile={compile_s:.1f}s "
+        f"loglik={evals_per_sec:.1f}/s value_and_grad={grad_evals_per_sec:.1f}/s "
+        f"device={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"vecchia_loglik_evals_per_sec_n{args.n}_m{args.m}",
+                "value": round(evals_per_sec, 2),
+                "unit": "evals/sec",
+                "vs_baseline": round(
+                    evals_per_sec / REFERENCE_EVALS_PER_SEC_ESTIMATE, 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

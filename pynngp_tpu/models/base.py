@@ -99,7 +99,11 @@ def run_chains(
     thin: int = 1,
 ):
     """vmap chains over a leading axis — the data-parallel axis that shards
-    across devices (SURVEY.md section 2.1 'chain parallelism')."""
+    across devices (SURVEY.md section 2.1 'chain parallelism').
+
+    Monolithic (single-program) variant: fine on CPU / in tests; for real
+    device runs use :func:`run_chains_chunked` (device watchdogs kill
+    long-running single executions)."""
     keys = jax.random.split(key, n_chains + 1)
     init_states = jax.vmap(init_fn)(keys[1:])
 
@@ -110,3 +114,104 @@ def run_chains(
         jnp.arange(n_chains)
     )
     return jax.vmap(single)(chain_keys, init_states)
+
+
+def run_chains_chunked(
+    key,
+    init_fn: Callable,
+    step_fn: Callable,
+    collect_fn: Callable,
+    n_chains: int,
+    n_samples: int,
+    n_burn: int = 0,
+    thin: int = 1,
+    chunk: int = None,
+    target_chunk_seconds: float = 12.0,
+    progress_fn: Callable = None,
+    worst_case_factor_fn: Callable = None,
+):
+    """Host-chunked multi-chain MCMC driver.
+
+    Each device program executes at most ``chunk`` iterations (one
+    ``lax.scan`` over a vmap of chains); the sampler state stays on device
+    between chunks, so host overhead is one dispatch per chunk.  This bounds
+    single-program runtime (device/tunnel watchdogs kill executions over
+    ~60 s) and provides natural checkpoints.  ``chunk=None`` measures one
+    step and sizes chunks to ~``target_chunk_seconds``; exactly two programs
+    are compiled (single step + chunk scan) and reused for every chunk.
+
+    Returns (final_states, draws) with draws stacked (n_chains, n_samples).
+    """
+    import time
+
+    k_init, k_run = jax.random.split(key)
+    init_keys = jax.random.split(k_init, n_chains)
+    states = jax.jit(jax.vmap(init_fn))(init_keys)
+
+    def batched_step(states, i):
+        ks = jax.vmap(lambda c: jax.random.fold_in(jax.random.fold_in(k_run, i), c))(
+            jnp.arange(n_chains)
+        )
+        return jax.vmap(step_fn)(ks, states)
+
+    if chunk is None:
+        one = jax.jit(lambda s: batched_step(s, jnp.zeros((), jnp.int32)))
+        states_test = one(states)
+        jax.block_until_ready(states_test)  # compile
+        t0 = time.time()
+        states_test = one(states_test)
+        jax.block_until_ready(states_test)
+        dt = max(time.time() - t0, 1e-4)
+        # steps with data-dependent cost (e.g. NUTS tree depth) supply a
+        # worst-case/measured cost ratio so no chunk can exceed the budget
+        factor = 1.0
+        if worst_case_factor_fn is not None:
+            factor = float(worst_case_factor_fn(states_test))
+        chunk = int(max(1, min(4096, target_chunk_seconds / (dt * factor))))
+        # never run (much) more than the work actually requested
+        chunk = min(chunk, max(n_burn, 1), max(n_samples * thin, 1))
+
+    def burn_chunk(states, i0):
+        def body(s, j):
+            return batched_step(s, i0 + j), None
+
+        states, _ = lax.scan(body, states, jnp.arange(chunk))
+        return states
+
+    burn_c = jax.jit(burn_chunk)
+    it = 0
+    while it < n_burn:
+        states = burn_c(states, jnp.asarray(it, jnp.int32))
+        it += chunk
+        if progress_fn:
+            progress_fn("burn", min(it, n_burn), n_burn)
+    burn_total = it  # may exceed n_burn by < chunk (extra burn is harmless)
+
+    chunk_draws = max(1, chunk // thin)
+
+    def draw_chunk(states, i0):
+        def body(s, j):
+            def inner(s2, t):
+                return batched_step(s2, i0 + j * thin + t), None
+
+            s, _ = lax.scan(inner, s, jnp.arange(thin))
+            return s, jax.vmap(collect_fn)(s)
+
+        return lax.scan(body, states, jnp.arange(chunk_draws))
+
+    draw_c = jax.jit(draw_chunk)
+    collected = []
+    got = 0
+    while got < n_samples:
+        states, block = draw_c(
+            states, jnp.asarray(burn_total + got * thin, jnp.int32)
+        )
+        collected.append(jax.tree.map(np.asarray, block))
+        got += chunk_draws
+        if progress_fn:
+            progress_fn("sample", min(got, n_samples), n_samples)
+    draws = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *collected)
+    draws = jax.tree.map(lambda a: a[:n_samples], draws)
+    # draws axes are (n_draws, n_chains, ...) -> (n_chains, n_draws, ...)
+    draws = jax.tree.map(lambda a: np.swapaxes(a, 0, 1), draws)
+    return states, draws

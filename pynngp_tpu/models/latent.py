@@ -427,26 +427,21 @@ class LatentNNGP:
         collect_w: bool = True,
         jit: bool = True,
     ):
+        from pynngp_tpu.models.base import run_chains_chunked
+
         key = jax.random.PRNGKey(seed)
         step = lambda k, s: self.step(k, s, n_adapt=n_burn)
         collect = lambda s: self.collect(s, collect_w=collect_w)
-
-        def runner(key):
-            return run_chains(
-                key,
-                lambda k: self.init_state(k, init),
-                step,
-                collect,
-                n_chains,
-                n_samples,
-                n_burn,
-                thin,
-            )
-
-        if jit:
-            runner = jax.jit(runner)
-        state, draws = runner(key)
-        draws = jax.tree.map(np.asarray, draws)
+        _, draws = run_chains_chunked(
+            key,
+            lambda k: self.init_state(k, init),
+            step,
+            collect,
+            n_chains,
+            n_samples,
+            n_burn,
+            thin,
+        )
         if n_chains == 1:
             draws = jax.tree.map(lambda a: a[0], draws)
         # report w in the user's original site order

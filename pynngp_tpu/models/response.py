@@ -302,6 +302,169 @@ class ResponseNNGP:
             out["beta"] = state.beta
         return out
 
+    # ---- gradient-based sampling (NUTS / HMC) --------------------------
+    # Joint unconstrained vector u = [log sigma2, logit phi, log tau2,
+    # (logit nu), beta...]; the whole posterior is one differentiable scalar
+    # (grad flows through the batched Cholesky — SURVEY.md sec 7 step 5).
+    def _unpack_full(self, u):
+        sigma2 = jnp.exp(u[0])
+        phi = self._t_phi.forward(u[1])
+        tau2 = jnp.exp(u[2])
+        idx = 3
+        nat = {"sigma2": sigma2, "phi": phi, "tau2": tau2}
+        if self._sample_nu:
+            nat["nu"] = self._t_nu.forward(u[idx])
+            idx += 1
+        beta = u[idx : idx + self.p] if self.p else jnp.zeros((0,), u.dtype)
+        return nat, beta
+
+    def full_dim(self):
+        return 3 + (1 if self._sample_nu else 0) + self.p
+
+    def full_logpost(self, u):
+        """log p(u | y) up to a constant — the NUTS/HMC target."""
+        nat, beta = self._unpack_full(u)
+        sigma2, phi, tau2 = nat["sigma2"], nat["phi"], nat["tau2"]
+        alpha = tau2 / sigma2
+        kp = {"phi": phi}
+        if self._sample_nu:
+            kp["nu"] = nat["nu"]
+        b, f = vecchia_bf(
+            self.kernel, kp, self.data.vecchia, alpha=alpha, jitter=self.jitter
+        )
+        resid_y = self.data.y if self.p == 0 else self.data.y - self.data.x @ beta
+        logdet, quad, _ = vecchia_suffstats(b, f, resid_y, self.data.vecchia)
+        ll = -0.5 * (
+            self.n * (LOG_2PI + jnp.log(sigma2)) + logdet + quad / sigma2
+        )
+        lp = self.priors["sigma2"].logpdf(sigma2) + u[0]
+        lp += self.priors["phi"].logpdf(phi) + self._t_phi.log_jac(u[1])
+        lp += self.priors["tau2"].logpdf(tau2) + u[2]
+        if self._sample_nu:
+            lp += self.priors["nu"].logpdf(nat["nu"]) + self._t_nu.log_jac(u[3])
+        if self.p:
+            lp += -0.5 * jnp.sum((beta / self.priors["beta_scale"]) ** 2)
+        return ll + lp
+
+    def _full_init_u(self, key, init: Optional[dict] = None):
+        init = init or {}
+        var_y = jnp.var(self.data.y)
+        pp = self.priors["phi"]
+        vals = [
+            jnp.log(jnp.asarray(init.get("sigma2", 0.9 * var_y), self.dtype)),
+            self._t_phi.inverse(
+                jnp.asarray(init.get("phi", 0.5 * (pp.lo + pp.hi)), self.dtype)
+            ),
+            jnp.log(jnp.asarray(init.get("tau2", 0.1 * var_y), self.dtype)),
+        ]
+        if self._sample_nu:
+            vals.append(
+                self._t_nu.inverse(jnp.asarray(init.get("nu", 1.0), self.dtype))
+            )
+        u = jnp.stack(vals)
+        if self.p:
+            u = jnp.concatenate(
+                [u, jnp.zeros((self.p,), self.dtype) + init.get("beta", 0.0)]
+            )
+        # small per-chain jitter for overdispersed starts
+        u = u + 0.1 * jax.random.normal(key, u.shape, self.dtype)
+        return u
+
+    def _collect_full(self, z, value, info):
+        nat, beta = self._unpack_full(z)
+        out = dict(nat)
+        out["logpost"] = value
+        out["diverging"] = info.diverging
+        if self.p:
+            out["beta"] = beta
+        return out
+
+    def sample_nuts(
+        self,
+        n_samples: int,
+        n_burn: int = 500,
+        thin: int = 1,
+        n_chains: int = 1,
+        seed: int = 0,
+        max_depth: int = 8,
+        target_accept: float = 0.8,
+        init: Optional[dict] = None,
+        jit: bool = True,
+    ):
+        """NUTS over the joint hyperparameter (+ fixed-effect) posterior.
+
+        Host-chunked: device programs are bounded (~12 s) so long runs never
+        trip device/tunnel watchdogs; state stays on device between chunks."""
+        from pynngp_tpu.models.base import run_chains_chunked
+        from pynngp_tpu.samplers.nuts import make_nuts_kernel
+
+        key = jax.random.PRNGKey(seed)
+        vg = jax.value_and_grad(self.full_logpost)
+        init_kernel, step_kernel = make_nuts_kernel(
+            vg, n_burn, max_depth, target_accept
+        )
+
+        def init_fn(k):
+            k1, k2 = jax.random.split(k)
+            return init_kernel(k2, self._full_init_u(k1, init))
+
+        _, draws = run_chains_chunked(
+            key,
+            init_fn,
+            step_kernel,
+            lambda s: self._collect_full(s.z, s.value, s.info),
+            n_chains,
+            n_samples,
+            n_burn,
+            thin,
+            worst_case_factor_fn=lambda s: (2**max_depth)
+            / max(float(np.mean(np.asarray(s.info.n_leapfrog))), 1.0),
+        )
+        if n_chains == 1:
+            draws = jax.tree.map(lambda a: a[0], draws)
+        return draws
+
+    def sample_hmc(
+        self,
+        n_samples: int,
+        n_burn: int = 500,
+        thin: int = 1,
+        n_chains: int = 1,
+        seed: int = 0,
+        n_leapfrog: int = 32,
+        target_accept: float = 0.8,
+        init: Optional[dict] = None,
+        jit: bool = True,
+    ):
+        """Fixed-length (jittered) HMC over the joint posterior (host-chunked
+        like sample_nuts)."""
+        from pynngp_tpu.models.base import run_chains_chunked
+        from pynngp_tpu.samplers.hmc import make_hmc_kernel
+
+        key = jax.random.PRNGKey(seed)
+        vg = jax.value_and_grad(self.full_logpost)
+        init_kernel, step_kernel = make_hmc_kernel(
+            vg, n_burn, n_leapfrog, target_accept
+        )
+
+        def init_fn(k):
+            k1, k2 = jax.random.split(k)
+            return init_kernel(k2, self._full_init_u(k1, init))
+
+        _, draws = run_chains_chunked(
+            key,
+            init_fn,
+            step_kernel,
+            lambda s: self._collect_full(s.z, s.value, s.info),
+            n_chains,
+            n_samples,
+            n_burn,
+            thin,
+        )
+        if n_chains == 1:
+            draws = jax.tree.map(lambda a: a[0], draws)
+        return draws
+
     def sample(
         self,
         n_samples: int,
@@ -313,26 +476,22 @@ class ResponseNNGP:
         jit: bool = True,
     ):
         """Run the sampler; returns a dict of posterior draws with leading
-        axes (n_chains, n_samples) (chain axis dropped when n_chains=1)."""
+        axes (n_chains, n_samples) (chain axis dropped when n_chains=1).
+        Host-chunked so device programs stay bounded."""
+        from pynngp_tpu.models.base import run_chains_chunked
+
         key = jax.random.PRNGKey(seed)
         step = lambda k, s: self.step(k, s, n_adapt=n_burn)
-
-        def runner(key):
-            return run_chains(
-                key,
-                lambda k: self.init_state(k, init),
-                step,
-                self.collect,
-                n_chains,
-                n_samples,
-                n_burn,
-                thin,
-            )
-
-        if jit:
-            runner = jax.jit(runner)
-        state, draws = runner(key)
-        draws = jax.tree.map(np.asarray, draws)
+        _, draws = run_chains_chunked(
+            key,
+            lambda k: self.init_state(k, init),
+            step,
+            self.collect,
+            n_chains,
+            n_samples,
+            n_burn,
+            thin,
+        )
         if n_chains == 1:
             draws = jax.tree.map(lambda a: a[0], draws)
         return draws

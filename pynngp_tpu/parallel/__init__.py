@@ -1,0 +1,20 @@
+"""Multi-device / multi-host parallelism: mesh setup, location-sharded
+log-likelihood, distributed init and cross-chain collectives (SURVEY.md
+sections 2.1, 5.7, 5.8 — all new TPU-native design; the reference is a
+single shared-memory process)."""
+
+from pynngp_tpu.parallel.sharded import (
+    make_mesh,
+    make_sharded_loglik,
+    make_sharded_suffstats,
+    pad_data_for_sharding,
+    shard_vecchia_data,
+)
+
+__all__ = [
+    "make_mesh",
+    "make_sharded_loglik",
+    "make_sharded_suffstats",
+    "pad_data_for_sharding",
+    "shard_vecchia_data",
+]

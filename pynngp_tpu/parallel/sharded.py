@@ -1,0 +1,223 @@
+"""Multi-device sharding: mesh construction and the location-sharded Vecchia
+log-likelihood (SURVEY.md section 2.1 parallelism inventory; section 5.7/5.8).
+
+Design (TPU-first, per the scaling-book recipe):
+
+- 2-D logical mesh ``(chains, sites)``: chains/particles are the
+  data-parallel axis; the n-site axis of the batched per-site log-lik terms
+  is the model-parallel axis.
+- Inputs: per-site tables (neighbor indices, masks, cached distances) are
+  sharded along the site axis; the value vector ``y`` (a few MB even at
+  n=500k) is *replicated* so every device gathers neighbor values locally —
+  m-sparse dependence means no ring/halo machinery is needed
+  (SURVEY.md section 5.7).
+- Each device computes its site block's (sum log F, quadratic form)
+  contributions; one scalar ``psum`` over the ``sites`` axis yields the
+  replicated log-likelihood.  Chains vectorize inside the shard via vmap,
+  sharded across the ``chains`` axis.
+- Gradients flow through ``psum`` (collectives are differentiable), so the
+  same function feeds NUTS/HMC/SMC/VI on a pod slice.
+
+The reference has no distributed capability at all (single process,
+SURVEY.md section 2.1); everything here is new TPU-native design.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pynngp_tpu.vecchia import LOG_2PI, VecchiaData
+
+__all__ = [
+    "make_mesh",
+    "pad_data_for_sharding",
+    "shard_vecchia_data",
+    "make_sharded_suffstats",
+    "make_sharded_loglik",
+]
+
+
+def make_mesh(
+    n_chain_shards: int = 1,
+    n_site_shards: Optional[int] = None,
+    devices=None,
+) -> Mesh:
+    """Build the (chains, sites) device mesh.  Intra-slice ICI carries the
+    site-axis psum; the chain axis needs no communication during sampling."""
+    devices = list(devices if devices is not None else jax.devices())
+    nd = len(devices)
+    if n_site_shards is None:
+        n_site_shards = nd // n_chain_shards
+    assert n_chain_shards * n_site_shards == nd, (
+        f"mesh {n_chain_shards}x{n_site_shards} != {nd} devices"
+    )
+    arr = np.asarray(devices).reshape(n_chain_shards, n_site_shards)
+    return Mesh(arr, axis_names=("chains", "sites"))
+
+
+def pad_data_for_sharding(data: VecchiaData, n_shards: int) -> VecchiaData:
+    """Pad the site axis to a multiple of n_shards with fully-masked rows.
+
+    Padded rows have empty conditioning sets (mask all False => B = 0,
+    F = 1 + alpha) and must be excluded from logdet/quad via the row mask —
+    the sharded suffstats below handles this with a validity vector."""
+    n = data.n
+    n_pad = (-n) % n_shards
+    if n_pad == 0:
+        return data, jnp.ones((n,), bool)
+    def pad(a, value=0):
+        if a is None:
+            return None
+        pad_width = [(0, n_pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, pad_width, constant_values=value)
+
+    padded = VecchiaData(
+        coords=pad(data.coords),
+        nn_idx=pad(data.nn_idx),
+        nn_mask=pad(data.nn_mask, False),
+        nn_dist=pad(data.nn_dist),
+        nn_cross_dist=pad(data.nn_cross_dist),
+    )
+    valid = jnp.concatenate([jnp.ones((n,), bool), jnp.zeros((n_pad,), bool)])
+    return padded, valid
+
+
+def shard_vecchia_data(data: VecchiaData, mesh: Mesh, y=None):
+    """device_put the per-site tables sharded over the 'sites' axis and the
+    gathered-from vectors replicated.
+
+    Returns (data, y_own, y_full, valid): ``y_own`` is the padded,
+    site-sharded copy (each device's own sites); ``y_full`` the unpadded
+    replicated copy every device gathers neighbor values from."""
+    n = data.n
+    data, valid = pad_data_for_sharding(data, mesh.shape["sites"])
+    site_sharded = NamedSharding(mesh, P("sites"))
+    replicated = NamedSharding(mesh, P())
+
+    def put(a, sharding):
+        return None if a is None else jax.device_put(a, sharding)
+
+    out = VecchiaData(
+        coords=put(data.coords, site_sharded),
+        nn_idx=put(data.nn_idx, site_sharded),
+        nn_mask=put(data.nn_mask, site_sharded),
+        nn_dist=put(data.nn_dist, site_sharded),
+        nn_cross_dist=put(data.nn_cross_dist, site_sharded),
+    )
+    valid = jax.device_put(valid, site_sharded)
+    y_own = y_full = None
+    if y is not None:
+        y = jnp.asarray(y)
+        n_pad = out.nn_idx.shape[0] - n
+        y_pad = jnp.pad(y, (0, n_pad)) if n_pad else y
+        y_own = jax.device_put(y_pad, site_sharded)
+        y_full = jax.device_put(y, replicated)
+    return out, y_own, y_full, valid
+
+
+def _block_suffstats(kernel, params, alpha, jitter, nn_idx, nn_mask, d_in, d_nn,
+                     y_own, y_full, valid):
+    """Per-site-block Vecchia build — the same batched math as
+    vecchia.vecchia_bf/vecchia_suffstats on a local block, with neighbor
+    values gathered from the replicated y_full."""
+    dtype = d_in.dtype
+    m = nn_mask.shape[1]
+    eye = jnp.eye(m, dtype=dtype)
+    mask_f = nn_mask.astype(dtype)
+    mask2 = mask_f[:, :, None] * mask_f[:, None, :]
+    rho_nn = kernel.correlation(d_nn, params)
+    c_mat = (rho_nn + (alpha + jitter) * eye) * mask2 + eye * (1.0 - mask2 * eye)
+    c_vec = kernel.correlation(d_in, params) * mask_f
+    chol = lax.linalg.cholesky(c_mat)
+    tmp = lax.linalg.triangular_solve(chol, c_vec[..., None], left_side=True, lower=True)
+    b = lax.linalg.triangular_solve(
+        chol, tmp, left_side=True, lower=True, transpose_a=True
+    )[..., 0]
+    f = (1.0 + alpha) - jnp.sum(b * c_vec, axis=-1)
+    y_nbr = jnp.take(y_full, nn_idx, axis=0) * mask_f
+    resid = y_own - jnp.sum(b * y_nbr, axis=-1)
+    vf = valid.astype(dtype)
+    logdet = jnp.sum(jnp.log(f) * vf)
+    quad = jnp.sum(resid * resid / f * vf)
+    return logdet, quad
+
+
+def make_sharded_suffstats(kernel, mesh: Mesh, jitter: float = 1e-6):
+    """Build fn(params, alpha, data, y_own, y_full, valid) -> (logdet, quad)
+    scalars, computed with the site axis sharded over the mesh's 'sites'
+    axis and psum-reduced.
+
+    The shard_map is explicit over 'sites' ONLY (``axis_names``): any other
+    mesh axes (e.g. 'chains') stay under compiler control, so callers can
+    vmap this function over a chain batch and let jit shard that batch over
+    the 'chains' axis — the composition the NUTS/HMC kernels need."""
+
+    def impl(params, alpha, nn_idx, nn_mask, d_in, d_nn, y_own, y_full, valid):
+        logdet, quad = _block_suffstats(
+            kernel, params, alpha, jitter, nn_idx, nn_mask, d_in, d_nn,
+            y_own, y_full, valid,
+        )
+        return lax.psum(logdet, "sites"), lax.psum(quad, "sites")
+
+    sharded = shard_map(
+        impl,
+        mesh=mesh,
+        axis_names=frozenset({"sites"}),
+        in_specs=(
+            P(),  # params pytree leaves (replicated scalars)
+            P(),  # alpha
+            P("sites", None),  # nn_idx
+            P("sites", None),  # nn_mask
+            P("sites", None),  # d_in
+            P("sites", None, None),  # d_nn
+            P("sites"),  # y_own (site-sharded)
+            P(),  # y_full replicated
+            P("sites"),  # valid
+        ),
+        out_specs=(P(), P()),
+    )
+
+    def fn(params, alpha, data: VecchiaData, y_own, y_full, valid):
+        return sharded(
+            params,
+            alpha,
+            data.nn_idx,
+            data.nn_mask,
+            data.nn_dist,
+            data.nn_cross_dist,
+            y_own,
+            y_full,
+            valid,
+        )
+
+    return fn
+
+
+def make_sharded_loglik(kernel, mesh: Mesh, n: int, jitter: float = 1e-6):
+    """Per-chain response-model log-likelihood over the mesh.
+
+    fn(params, sigma2, alpha, data, y_own, y_full, valid) -> scalar
+    log-likelihood (``n`` is the true, unpadded site count).  vmap over a
+    chain batch composes with the 'chains' mesh axis (see
+    make_sharded_suffstats)."""
+    suff = make_sharded_suffstats(kernel, mesh, jitter)
+
+    def fn(params, sigma2, alpha, data, y_own, y_full, valid):
+        logdet, quad = suff(params, alpha, data, y_own, y_full, valid)
+        return -0.5 * (
+            n * (LOG_2PI + jnp.log(sigma2)) + logdet + quad / sigma2
+        )
+
+    return fn
