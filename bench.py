@@ -45,30 +45,31 @@ def main():
     t0 = time.time()
     data, tab = pn.make_vecchia_data(coords, args.m)
     y_dev = jnp.asarray(y[tab.order], jnp.float32)
-    setup_s = time.time() - t0
     kern = pn.SqExp()
+    # fused Pallas path (the production backend on TPU)
+    from pynngp_tpu.ops import pallas_bf as pb
+
+    cache = pb.make_lane_cache(data)
+    diff_suff = pb.make_diff_suffstats(kern, cache)
+    setup_s = time.time() - t0
     k_evals = args.evals_per_call
+
+    def one_loglik(phi):
+        logdet, quad = diff_suff(phi, jnp.float32(0.1), y_dev)
+        return -0.5 * (logdet + quad)
 
     @jax.jit
     def many_evals(phis):
         def body(acc, phi):
-            ll = pn.vecchia_loglik(
-                kern, {"phi": phi}, data, y_dev, jnp.float32(1.0), alpha=0.1
-            )
-            return acc + ll, None
+            return acc + one_loglik(phi), None
 
         acc, _ = lax.scan(body, jnp.float32(0.0), phis)
         return acc
 
     @jax.jit
     def many_grad_evals(phis):
-        def one(phi):
-            return pn.vecchia_loglik(
-                kern, {"phi": phi}, data, y_dev, jnp.float32(1.0), alpha=0.1
-            )
-
         def body(acc, phi):
-            v, g = jax.value_and_grad(one)(phi)
+            v, g = jax.value_and_grad(one_loglik)(phi)
             return acc + v + g, None
 
         acc, _ = lax.scan(body, jnp.float32(0.0), phis)

@@ -81,6 +81,7 @@ class LatentNNGP:
         jitter: float = 1e-6,
         w_update: str = "chromatic",
         precompute_distances: bool = True,
+        backend: str = "auto",
     ):
         assert w_update in ("chromatic", "sequential")
         self.kernel = get_kernel(kernel)
@@ -106,6 +107,23 @@ class LatentNNGP:
         sites, smask = color_site_table(colors)
         self.color_sites = jnp.asarray(sites)  # (n_colors, max_sz)
         self.color_smask = jnp.asarray(smask)
+
+        from pynngp_tpu.ops import pallas_bf as _pb
+
+        if backend == "auto":
+            # fused kernels pay off on real TPU; off-TPU they would run in
+            # interpreter mode (slow) so auto picks XLA there
+            import jax as _jax
+
+            on_tpu = _jax.default_backend() == "tpu"
+            backend = (
+                "pallas" if on_tpu and _pb.pallas_supported(self.kernel) else "xla"
+            )
+        if backend == "pallas" and not _pb.pallas_supported(self.kernel):
+            raise ValueError(f"pallas backend does not support {self.kernel!r}")
+        self.backend = backend
+        if backend == "pallas":
+            self._lane_cache = _pb.make_lane_cache(self.data.vecchia, dtype)
 
         coords = np.asarray(coords)
         span = float(np.max(coords.max(0) - coords.min(0))) if coords.size else 1.0
@@ -266,9 +284,16 @@ class LatentNNGP:
         kp = {"phi": nat["phi"]}
         if self._sample_nu:
             kp["nu"] = nat["nu"]
-        b, f = vecchia_bf(
-            self.kernel, kp, self.data.vecchia, alpha=0.0, jitter=self.jitter
-        )
+        if self.backend == "pallas":
+            from pynngp_tpu.ops import pallas_bf as _pb
+
+            b, f = _pb.pallas_bf(
+                self.kernel, kp, self._lane_cache, 0.0, self.jitter
+            )
+        else:
+            b, f = vecchia_bf(
+                self.kernel, kp, self.data.vecchia, alpha=0.0, jitter=self.jitter
+            )
         logdet, quad, _ = vecchia_suffstats(b, f, w, self.data.vecchia)
         return b, f, logdet, quad
 

@@ -73,6 +73,7 @@ class ResponseNNGP:
         jitter: float = 1e-6,
         joint_theta: bool = False,
         precompute_distances: bool = True,
+        backend: str = "auto",
     ):
         self.kernel = get_kernel(kernel)
         self.dtype = dtype
@@ -90,6 +91,28 @@ class ResponseNNGP:
         )
         self.n = self.data.y.shape[0]
         self.p = 0 if self.data.x is None else self.data.x.shape[1]
+
+        # --- compute backend: fused Pallas kernels when the covariance
+        # kernel supports them (SURVEY.md sec 7 step 7), else batched XLA ---
+        from pynngp_tpu.ops import pallas_bf as _pb
+
+        if backend == "auto":
+            # fused kernels pay off on real TPU; off-TPU they would run in
+            # interpreter mode (slow) so auto picks XLA there
+            import jax as _jax
+
+            on_tpu = _jax.default_backend() == "tpu"
+            backend = (
+                "pallas" if on_tpu and _pb.pallas_supported(self.kernel) else "xla"
+            )
+        if backend == "pallas" and not _pb.pallas_supported(self.kernel):
+            raise ValueError(f"pallas backend does not support {self.kernel!r}")
+        self.backend = backend
+        if backend == "pallas":
+            self._lane_cache = _pb.make_lane_cache(self.data.vecchia, dtype)
+            self._diff_suff = _pb.make_diff_suffstats(
+                self.kernel, self._lane_cache, jitter
+            )
 
         # --- priors (data-informed defaults, overridable) ---
         coords = np.asarray(coords)
@@ -158,14 +181,31 @@ class ResponseNNGP:
     # ---- likelihood pieces --------------------------------------------
     def _suffstats(self, theta_u, beta):
         nat = self._natural(theta_u)
-        b, f = vecchia_bf(
-            self.kernel,
-            self._kparams(nat),
-            self.data.vecchia,
-            alpha=nat["alpha"],
-            jitter=self.jitter,
-        )
         resid_y = self.data.y if self.p == 0 else self.data.y - self.data.x @ beta
+        if self.backend == "pallas":
+            from pynngp_tpu.ops import pallas_bf as _pb
+
+            if self.p == 0:
+                # fastest path: fused suffstats, no B/F materialization
+                logdet, quad, f4, _ = _pb.pallas_suffstats(
+                    self.kernel, self._kparams(nat), self._lane_cache,
+                    resid_y, nat["alpha"], self.jitter,
+                )
+                dummy_b = jnp.zeros((1, 1), self.dtype)
+                dummy_f = jnp.ones((1,), self.dtype)
+                return dummy_b, dummy_f, logdet, quad
+            b, f = _pb.pallas_bf(
+                self.kernel, self._kparams(nat), self._lane_cache,
+                nat["alpha"], self.jitter,
+            )
+        else:
+            b, f = vecchia_bf(
+                self.kernel,
+                self._kparams(nat),
+                self.data.vecchia,
+                alpha=nat["alpha"],
+                jitter=self.jitter,
+            )
         logdet, quad, _ = vecchia_suffstats(b, f, resid_y, self.data.vecchia)
         return b, f, logdet, quad
 
@@ -322,18 +362,26 @@ class ResponseNNGP:
         return 3 + (1 if self._sample_nu else 0) + self.p
 
     def full_logpost(self, u):
-        """log p(u | y) up to a constant — the NUTS/HMC target."""
+        """log p(u | y) up to a constant — the NUTS/HMC target.
+
+        With the Pallas backend and no fixed effects, the fused forward +
+        analytic-VJP kernels carry both the evaluation and the gradient."""
         nat, beta = self._unpack_full(u)
         sigma2, phi, tau2 = nat["sigma2"], nat["phi"], nat["tau2"]
         alpha = tau2 / sigma2
         kp = {"phi": phi}
         if self._sample_nu:
             kp["nu"] = nat["nu"]
-        b, f = vecchia_bf(
-            self.kernel, kp, self.data.vecchia, alpha=alpha, jitter=self.jitter
-        )
-        resid_y = self.data.y if self.p == 0 else self.data.y - self.data.x @ beta
-        logdet, quad, _ = vecchia_suffstats(b, f, resid_y, self.data.vecchia)
+        if self.backend == "pallas" and self.p == 0:
+            logdet, quad = self._diff_suff(phi, alpha, self.data.y)
+        else:
+            b, f = vecchia_bf(
+                self.kernel, kp, self.data.vecchia, alpha=alpha, jitter=self.jitter
+            )
+            resid_y = (
+                self.data.y if self.p == 0 else self.data.y - self.data.x @ beta
+            )
+            logdet, quad, _ = vecchia_suffstats(b, f, resid_y, self.data.vecchia)
         ll = -0.5 * (
             self.n * (LOG_2PI + jnp.log(sigma2)) + logdet + quad / sigma2
         )
