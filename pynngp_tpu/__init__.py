@@ -36,6 +36,7 @@ tests                        tests/
 __version__ = "0.1.0"
 
 from pynngp_tpu import diagnostics, distance, kernels, neighbors, noise, vecchia
+from pynngp_tpu.config import NNGPConfig
 from pynngp_tpu.diagnostics import summarize
 from pynngp_tpu.distance import DotProduct, Euclidean
 from pynngp_tpu.kernels import Exponential, Matern, Spherical, SqExp
@@ -74,4 +75,5 @@ __all__ = [
     "build_prediction_table",
     "predict_draws",
     "summarize",
+    "NNGPConfig",
 ]

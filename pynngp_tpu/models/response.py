@@ -361,11 +361,9 @@ class ResponseNNGP:
     def full_dim(self):
         return 3 + (1 if self._sample_nu else 0) + self.p
 
-    def full_logpost(self, u):
-        """log p(u | y) up to a constant — the NUTS/HMC target.
-
-        With the Pallas backend and no fixed effects, the fused forward +
-        analytic-VJP kernels carry both the evaluation and the gradient."""
+    def full_loglik(self, u):
+        """log p(y | u) — the likelihood part of the joint target (the SMC
+        tempering exponent)."""
         nat, beta = self._unpack_full(u)
         sigma2, phi, tau2 = nat["sigma2"], nat["phi"], nat["tau2"]
         alpha = tau2 / sigma2
@@ -382,17 +380,120 @@ class ResponseNNGP:
                 self.data.y if self.p == 0 else self.data.y - self.data.x @ beta
             )
             logdet, quad, _ = vecchia_suffstats(b, f, resid_y, self.data.vecchia)
-        ll = -0.5 * (
+        return -0.5 * (
             self.n * (LOG_2PI + jnp.log(sigma2)) + logdet + quad / sigma2
         )
+
+    def full_logprior(self, u):
+        """log p(u): priors + transform Jacobians on the unconstrained vector."""
+        nat, beta = self._unpack_full(u)
+        sigma2, tau2 = nat["sigma2"], nat["tau2"]
         lp = self.priors["sigma2"].logpdf(sigma2) + u[0]
-        lp += self.priors["phi"].logpdf(phi) + self._t_phi.log_jac(u[1])
+        lp += self.priors["phi"].logpdf(nat["phi"]) + self._t_phi.log_jac(u[1])
         lp += self.priors["tau2"].logpdf(tau2) + u[2]
         if self._sample_nu:
             lp += self.priors["nu"].logpdf(nat["nu"]) + self._t_nu.log_jac(u[3])
         if self.p:
             lp += -0.5 * jnp.sum((beta / self.priors["beta_scale"]) ** 2)
-        return ll + lp
+        return lp
+
+    def full_logpost(self, u):
+        """log p(u | y) up to a constant — the NUTS/HMC/ADVI target.
+
+        With the Pallas backend and no fixed effects, the fused forward +
+        analytic-VJP kernels carry both the evaluation and the gradient."""
+        return self.full_loglik(u) + self.full_logprior(u)
+
+    def sample_prior_u(self, key, n: int):
+        """Draw n unconstrained vectors from the prior (SMC initialization)."""
+        ks = jax.random.split(key, 5)
+        pr_s, pr_t = self.priors["sigma2"], self.priors["tau2"]
+        sigma2 = pr_s.b / jax.random.gamma(ks[0], pr_s.a, (n,), self.dtype)
+        tau2 = pr_t.b / jax.random.gamma(ks[1], pr_t.a, (n,), self.dtype)
+        pp = self.priors["phi"]
+        phi = jax.random.uniform(
+            ks[2], (n,), self.dtype, pp.lo + 1e-6, pp.hi - 1e-6
+        )
+        cols = [jnp.log(sigma2), jax.vmap(self._t_phi.inverse)(phi), jnp.log(tau2)]
+        if self._sample_nu:
+            pn_ = self.priors["nu"]
+            nu = jax.random.uniform(
+                ks[3], (n,), self.dtype, pn_.lo + 1e-6, pn_.hi - 1e-6
+            )
+            cols.append(jax.vmap(self._t_nu.inverse)(nu))
+        u = jnp.stack(cols, axis=1)
+        if self.p:
+            beta = 0.1 * self.priors["beta_scale"] * jax.random.normal(
+                ks[4], (n, self.p), self.dtype
+            )
+            u = jnp.concatenate([u, beta], axis=1)
+        return u
+
+    def sample_smc(
+        self,
+        n_particles: int = 1024,
+        n_move: int = 5,
+        seed: int = 0,
+        verbose: bool = False,
+        **kwargs,
+    ):
+        """Adaptive tempered SMC over the joint posterior.  Returns
+        (draws dict with per-particle natural params + 'logw' + 'log_z',
+        per-stage info list)."""
+        from pynngp_tpu.samplers.smc import smc_sample
+
+        state, infos = smc_sample(
+            self.full_logprior,
+            self.full_loglik,
+            self.sample_prior_u,
+            jax.random.PRNGKey(seed),
+            n_particles=n_particles,
+            n_move=n_move,
+            verbose=verbose,
+            **kwargs,
+        )
+        nat, beta = jax.vmap(self._unpack_full)(state.u)
+        draws = {k: np.asarray(v) for k, v in nat.items()}
+        if self.p:
+            draws["beta"] = np.asarray(beta)
+        draws["logw"] = np.asarray(state.logw)
+        draws["log_z"] = float(state.log_z)
+        return draws, infos
+
+    def fit_advi(
+        self,
+        n_steps: int = 2000,
+        n_mc: int = 8,
+        learning_rate: float = 1e-2,
+        full_rank: bool = False,
+        n_draws: int = 1000,
+        seed: int = 0,
+    ):
+        """ADVI over the joint posterior; returns (draws dict, ADVIResult)."""
+        from pynngp_tpu.samplers.vi import advi_fit, advi_sample
+
+        key = jax.random.PRNGKey(seed)
+        k_fit, k_init, k_draw = jax.random.split(key, 3)
+        u0 = self._full_init_u(k_init, None)
+        res = jax.jit(
+            lambda: advi_fit(
+                self.full_logpost,
+                self.full_dim(),
+                k_fit,
+                n_steps=n_steps,
+                n_mc=n_mc,
+                learning_rate=learning_rate,
+                full_rank=full_rank,
+                init_mu=u0,
+                dtype=self.dtype,
+            )
+        )()
+        us = advi_sample(res, k_draw, n_draws)
+        nat, beta = jax.vmap(self._unpack_full)(us)
+        draws = {k: np.asarray(v) for k, v in nat.items()}
+        if self.p:
+            draws["beta"] = np.asarray(beta)
+        return draws, res
 
     def _full_init_u(self, key, init: Optional[dict] = None):
         init = init or {}
