@@ -124,6 +124,7 @@ def build_neighbor_table(
     metric: str = "euclidean",
     block_size: int = 2048,
     seed: int = 0,
+    use_native: str = "auto",
 ) -> NeighborTable:
     """Build the (n, m) nearest-preceding-neighbor table.
 
@@ -133,6 +134,8 @@ def build_neighbor_table(
       ordering: 'coordinate' (reference semantics), 'maxmin', or 'none'.
       metric: 'euclidean' (kd-tree accelerated) or 'dotproduct' (blocked brute
         force — kd-trees do not apply to cosine dissimilarity).
+      use_native: 'auto' uses the C++ kd-tree (cpp/nngp_native.cpp) when the
+        toolchain is available (euclidean, d<=8); 'never' forces Python.
     """
     coords = np.asarray(coords, dtype=np.float64)
     n = coords.shape[0]
@@ -146,6 +149,22 @@ def build_neighbor_table(
     else:
         raise ValueError(f"unknown ordering {ordering!r}")
     pts = coords[order]
+
+    if (
+        use_native == "auto"
+        and metric == "euclidean"
+        and coords.shape[1] <= 8
+    ):
+        from pynngp_tpu import native
+
+        if native.native_available():
+            nn_idx, nn_mask = native.neighbor_table(pts, m)
+            inverse = np.empty(n, dtype=np.int64)
+            inverse[order] = np.arange(n)
+            return NeighborTable(
+                order=order, inverse_order=inverse, nn_idx=nn_idx,
+                nn_mask=nn_mask,
+            )
 
     nn_idx = np.zeros((n, m), dtype=np.int32)
     nn_mask = np.zeros((n, m), dtype=bool)
@@ -217,7 +236,15 @@ class ChildrenTable(NamedTuple):
         return self.child_idx.shape[1]
 
 
-def build_children_table(nn_idx: np.ndarray, nn_mask: np.ndarray) -> ChildrenTable:
+def build_children_table(
+    nn_idx: np.ndarray, nn_mask: np.ndarray, use_native: str = "auto"
+) -> ChildrenTable:
+    if use_native == "auto":
+        from pynngp_tpu import native
+
+        if native.native_available():
+            ci, cs, cm = native.children_table(nn_idx, nn_mask)
+            return ChildrenTable(ci, cs, cm)
     n, m = nn_idx.shape
     counts = np.zeros(n, dtype=np.int64)
     js, slots = np.nonzero(nn_mask)
@@ -256,6 +283,14 @@ def color_moral_graph(
 
     Returns (n,) int32 color per site.
     """
+    if balanced:
+        from pynngp_tpu import native
+
+        if native.native_available():
+            ch = build_children_table(nn_idx, nn_mask)
+            return native.color_moral(
+                nn_idx, nn_mask, ch.child_idx, ch.child_slot, ch.child_mask
+            )
     n, m = nn_idx.shape
     adj = [set() for _ in range(n)]
     for j in range(n):
