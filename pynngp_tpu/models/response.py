@@ -74,11 +74,13 @@ class ResponseNNGP:
         joint_theta: bool = False,
         precompute_distances: bool = True,
         backend: str = "auto",
+        mesh=None,
     ):
         self.kernel = get_kernel(kernel)
         self.dtype = dtype
         self.jitter = jitter
         self.joint_theta = joint_theta
+        self.mesh = mesh
         self.data = prepare_spatial_data(
             coords,
             y,
@@ -113,6 +115,25 @@ class ResponseNNGP:
             self._diff_suff = _pb.make_diff_suffstats(
                 self.kernel, self._lane_cache, jitter
             )
+
+        # --- multi-device: site-sharded likelihood over a (chains, sites)
+        # mesh (SURVEY.md sec 5.8).  Overrides the single-device backends for
+        # the log-lik; chains additionally shard over the 'chains' axis.  ---
+        if mesh is not None:
+            from pynngp_tpu.parallel import make_sharded_loglik, shard_vecchia_data
+
+            (
+                self._sh_data,
+                self._sh_y_own,
+                self._sh_y_full,
+                self._sh_valid,
+            ) = shard_vecchia_data(self.data.vecchia, mesh, y=self.data.y)
+            self._sh_loglik = make_sharded_loglik(
+                self.kernel, mesh, self.n, jitter
+            )
+            from pynngp_tpu.parallel import make_sharded_suffstats
+
+            self._sh_suff = make_sharded_suffstats(self.kernel, mesh, jitter)
 
         # --- priors (data-informed defaults, overridable) ---
         coords = np.asarray(coords)
@@ -182,6 +203,14 @@ class ResponseNNGP:
     def _suffstats(self, theta_u, beta):
         nat = self._natural(theta_u)
         resid_y = self.data.y if self.p == 0 else self.data.y - self.data.x @ beta
+        if self.mesh is not None and self.p == 0:
+            logdet, quad = self._sh_suff(
+                self._kparams(nat), nat["alpha"], self._sh_data,
+                self._sh_y_own, self._sh_y_full, self._sh_valid,
+            )
+            dummy_b = jnp.zeros((1, 1), self.dtype)
+            dummy_f = jnp.ones((1,), self.dtype)
+            return dummy_b, dummy_f, logdet, quad
         if self.backend == "pallas":
             from pynngp_tpu.ops import pallas_bf as _pb
 
@@ -370,6 +399,11 @@ class ResponseNNGP:
         kp = {"phi": phi}
         if self._sample_nu:
             kp["nu"] = nat["nu"]
+        if self.mesh is not None and self.p == 0:
+            return self._sh_loglik(
+                kp, sigma2, alpha, self._sh_data, self._sh_y_own,
+                self._sh_y_full, self._sh_valid,
+            )
         if self.backend == "pallas" and self.p == 0:
             logdet, quad = self._diff_suff(phi, alpha, self.data.y)
         else:

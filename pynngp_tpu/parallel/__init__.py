@@ -3,6 +3,12 @@ log-likelihood, distributed init and cross-chain collectives (SURVEY.md
 sections 2.1, 5.7, 5.8 — all new TPU-native design; the reference is a
 single shared-memory process)."""
 
+from pynngp_tpu.parallel.distributed import (
+    global_mesh,
+    host_local_to_global,
+    initialize_distributed,
+    process_chain_slice,
+)
 from pynngp_tpu.parallel.sharded import (
     make_mesh,
     make_sharded_loglik,
@@ -17,4 +23,8 @@ __all__ = [
     "make_sharded_suffstats",
     "pad_data_for_sharding",
     "shard_vecchia_data",
+    "initialize_distributed",
+    "global_mesh",
+    "host_local_to_global",
+    "process_chain_slice",
 ]
