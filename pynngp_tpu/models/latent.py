@@ -82,8 +82,12 @@ class LatentNNGP:
         w_update: str = "chromatic",
         precompute_distances: bool = True,
         backend: str = "auto",
+        noise="homogeneous",
     ):
+        from pynngp_tpu.noise import get_noise
+
         assert w_update in ("chromatic", "sequential")
+        self.noise = get_noise(noise)
         self.kernel = get_kernel(kernel)
         self.dtype = dtype
         self.jitter = jitter
@@ -95,6 +99,14 @@ class LatentNNGP:
         self.n = self.data.y.shape[0]
         self.m = self.data.vecchia.m
         self.p = 0 if self.data.x is None else self.data.x.shape[1]
+        # heterogeneous measurement noise tau2 * v_i (noiseModel.h analog):
+        # fixed weights v in ordered space; homogeneous => v = 1
+        self._hetero = self.noise.name == "heterogeneous"
+        if self._hetero:
+            v = np.asarray(self.noise.v)[self.data.table.order]
+            self._noise_w = jnp.asarray(v, dtype)
+        else:
+            self._noise_w = jnp.ones((self.n,), dtype)
 
         tab = self.data.table
         ch = build_children_table(tab.nn_idx, tab.nn_mask)
@@ -187,9 +199,10 @@ class LatentNNGP:
         resid_child = jnp.take(resid, self.child_idx)
         # exclude i's own contribution from child j's residual
         resid_excl = resid_child + b_child * w[:, None]
-        prec = 1.0 / tau2 + fprec + jnp.sum(b_child * b_child * fp_child, axis=-1)
+        nvar = tau2 * self._noise_w  # (n,) per-site noise variance
+        prec = 1.0 / nvar + fprec + jnp.sum(b_child * b_child * fp_child, axis=-1)
         rhs = (
-            (self.data.y - self._mean(beta)) / tau2
+            (self.data.y - self._mean(beta)) / nvar
             + mu_own * fprec
             + jnp.sum(b_child * fp_child * resid_excl, axis=-1)
         )
@@ -207,13 +220,14 @@ class LatentNNGP:
         two same-color sites share a child or condition on one another)."""
         vd = self.data.vecchia
         fprec = 1.0 / (sigma2 * f)  # (n,)
-        ytil = (self.data.y - self._mean(beta)) / tau2
+        nvar = tau2 * self._noise_w  # (n,) per-site noise variance
+        ytil = (self.data.y - self._mean(beta)) / nvar
         cmask = self.child_mask.astype(w.dtype)
         b_child = jnp.take_along_axis(
             jnp.take(b, self.child_idx, axis=0), self.child_slot[..., None], axis=-1
         )[..., 0] * cmask  # (n, max_c): B_{j, l(i,j)}
         fp_child = jnp.take(fprec, self.child_idx) * cmask
-        prec = 1.0 / tau2 + fprec + jnp.sum(b_child * b_child * fp_child, axis=-1)
+        prec = 1.0 / nvar + fprec + jnp.sum(b_child * b_child * fp_child, axis=-1)
         v = 1.0 / prec
         sd = jnp.sqrt(v)
         nmaskf = vd.nn_mask.astype(w.dtype)
@@ -251,6 +265,7 @@ class LatentNNGP:
         """Exact reference semantics: site-by-site scan (SURVEY.md sec 3.2)."""
         vd = self.data.vecchia
         fprec = 1.0 / (sigma2 * f)
+        nvar = tau2 * self._noise_w
         ytil = self.data.y - self._mean(beta)
         eps = jax.random.normal(key, w.shape, w.dtype)
 
@@ -267,8 +282,8 @@ class LatentNNGP:
             w_cn = jnp.take(w, vd.nn_idx[cj]) * vd.nn_mask[cj].astype(w.dtype)
             resid_child = w[cj] - jnp.sum(b[cj] * w_cn, axis=-1)
             resid_excl = resid_child + b_child * w[i]
-            prec = 1.0 / tau2 + fprec[i] + jnp.sum(b_child * b_child * fp_child)
-            rhs = ytil[i] / tau2 + mu_own * fprec[i] + jnp.sum(
+            prec = 1.0 / nvar[i] + fprec[i] + jnp.sum(b_child * b_child * fp_child)
+            rhs = ytil[i] / nvar[i] + mu_own * fprec[i] + jnp.sum(
                 b_child * fp_child * resid_excl
             )
             v = 1.0 / prec
@@ -306,8 +321,9 @@ class LatentNNGP:
     def loglik(self, state: LatentState):
         """Marginal-ish record: p(y | w, tau2) + p(w | theta, sigma2)."""
         r = self.data.y - self._mean(state.beta) - state.w
+        nvar = state.tau2 * self._noise_w
         ll_y = -0.5 * (
-            self.n * (LOG_2PI + jnp.log(state.tau2)) + jnp.sum(r * r) / state.tau2
+            self.n * LOG_2PI + jnp.sum(jnp.log(nvar)) + jnp.sum(r * r / nvar)
         )
         ll_w = -0.5 * (
             self.n * (LOG_2PI + jnp.log(state.sigma2))
@@ -376,13 +392,14 @@ class LatentNNGP:
             pr_s.b + 0.5 * quad_w,
         )
 
-        # 3. tau2 | w, beta (reference updateTauSq)
+        # 3. tau2 | w, beta (reference updateTauSq); heterogeneous noise
+        # tau2 * v_i stays IG-conjugate with weighted residuals
         r = self.data.y - self._mean(state.beta) - w
         pr_t = self.priors["tau2"]
         tau2 = sample_inverse_gamma(
             k_tau,
             jnp.asarray(pr_t.a + 0.5 * self.n, self.dtype),
-            pr_t.b + 0.5 * jnp.sum(r * r),
+            pr_t.b + 0.5 * jnp.sum(r * r / self._noise_w),
         )
 
         # 4. beta | w, tau2: conjugate linear model on y - w

@@ -75,12 +75,16 @@ class ResponseNNGP:
         precompute_distances: bool = True,
         backend: str = "auto",
         mesh=None,
+        noise="homogeneous",
     ):
+        from pynngp_tpu.noise import get_noise
+
         self.kernel = get_kernel(kernel)
         self.dtype = dtype
         self.jitter = jitter
         self.joint_theta = joint_theta
         self.mesh = mesh
+        self.noise = get_noise(noise)
         self.data = prepare_spatial_data(
             coords,
             y,
@@ -93,10 +97,21 @@ class ResponseNNGP:
         )
         self.n = self.data.y.shape[0]
         self.p = 0 if self.data.x is None else self.data.x.shape[1]
+        # heterogeneous noise: fixed per-site weights v (ordered space);
+        # relative nugget becomes the vector alpha * v (noiseModel.h analog)
+        self._hetero = self.noise.name == "heterogeneous"
+        if self._hetero:
+            v = np.asarray(self.noise.v)[self.data.table.order]
+            self._noise_w = jnp.asarray(v, dtype)
+        else:
+            self._noise_w = None
 
         # --- compute backend: fused Pallas kernels when the covariance
         # kernel supports them (SURVEY.md sec 7 step 7), else batched XLA ---
         from pynngp_tpu.ops import pallas_bf as _pb
+
+        if self._hetero and backend in ("auto", "pallas"):
+            backend = "xla"  # per-site nugget not yet in the fused kernels
 
         if backend == "auto":
             # fused kernels pay off on real TPU; off-TPU they would run in
@@ -120,6 +135,9 @@ class ResponseNNGP:
         # mesh (SURVEY.md sec 5.8).  Overrides the single-device backends for
         # the log-lik; chains additionally shard over the 'chains' axis.  ---
         if mesh is not None:
+            assert not self._hetero, (
+                "heterogeneous noise + mesh sharding not yet supported"
+            )
             from pynngp_tpu.parallel import make_sharded_loglik, shard_vecchia_data
 
             (
@@ -199,6 +217,11 @@ class ResponseNNGP:
             lp += self.priors["nu"].logpdf(nat["nu"]) + self._t_nu.log_jac(theta_u[2])
         return lp
 
+    def _alpha_eff(self, alpha):
+        """Scalar relative nugget, or the per-site vector alpha * v under the
+        heterogeneous noise model."""
+        return alpha * self._noise_w if self._hetero else alpha
+
     # ---- likelihood pieces --------------------------------------------
     def _suffstats(self, theta_u, beta):
         nat = self._natural(theta_u)
@@ -232,7 +255,7 @@ class ResponseNNGP:
                 self.kernel,
                 self._kparams(nat),
                 self.data.vecchia,
-                alpha=nat["alpha"],
+                alpha=self._alpha_eff(nat["alpha"]),
                 jitter=self.jitter,
             )
         logdet, quad, _ = vecchia_suffstats(b, f, resid_y, self.data.vecchia)
@@ -408,7 +431,8 @@ class ResponseNNGP:
             logdet, quad = self._diff_suff(phi, alpha, self.data.y)
         else:
             b, f = vecchia_bf(
-                self.kernel, kp, self.data.vecchia, alpha=alpha, jitter=self.jitter
+                self.kernel, kp, self.data.vecchia,
+                alpha=self._alpha_eff(alpha), jitter=self.jitter,
             )
             resid_y = (
                 self.data.y if self.p == 0 else self.data.y - self.data.x @ beta

@@ -141,8 +141,12 @@ def vecchia_bf(kernel, params, data: VecchiaData, alpha=0.0, jitter=1e-6, dist_f
     Args:
       kernel: correlation kernel (:mod:`pynngp_tpu.kernels`).
       params: kernel hyperparameter pytree (natural space).
-      alpha: relative nugget tau^2/sigma^2 added to every diagonal entry
-        (response model); 0 for the latent-process covariance.
+      alpha: relative nugget tau^2/sigma^2 added to the diagonal (response
+        model); 0 for the latent-process covariance.  Either a scalar
+        (homogeneous noise) or an (n,) vector of per-site relative nuggets
+        (heterogeneous noise model, reference ``noiseModel.h`` variants):
+        site i's own diagonal gets alpha[i] and its neighbor block's
+        diagonal alpha[nn_idx[i]].
 
     Returns:
       B: (n, m) weights (0 in masked slots), F: (n,) conditional variances of
@@ -156,8 +160,16 @@ def vecchia_bf(kernel, params, data: VecchiaData, alpha=0.0, jitter=1e-6, dist_f
     mask_f = mask.astype(dtype)
     mask2 = mask_f[:, :, None] * mask_f[:, None, :]
     rho_nn = kernel.correlation(d_nn, params)
-    # valid: rho + alpha on diag; masked slots: identity row/col (=> B = 0).
-    c_mat = (rho_nn + (alpha + jitter) * eye) * mask2 + eye * (1.0 - mask2 * eye)
+    alpha = jnp.asarray(alpha, dtype)
+    if alpha.ndim == 0:
+        alpha_own = alpha
+        alpha_nbr = jnp.broadcast_to(alpha, mask.shape)
+    else:
+        alpha_own = alpha
+        alpha_nbr = jnp.take(alpha, data.nn_idx, axis=0)  # (n, m)
+    diag_add = (alpha_nbr + jitter)[..., None] * eye
+    # valid: rho + alpha_j on diag; masked slots: identity row/col (=> B = 0)
+    c_mat = (rho_nn + diag_add) * mask2 + eye * (1.0 - mask2 * eye)
     c_vec = kernel.correlation(d_in, params) * mask_f
     chol = lax.linalg.cholesky(c_mat)  # batched (n, m, m)
     # B = C^{-1} c via two triangular solves.
@@ -167,7 +179,7 @@ def vecchia_bf(kernel, params, data: VecchiaData, alpha=0.0, jitter=1e-6, dist_f
     b = lax.linalg.triangular_solve(
         chol, tmp, left_side=True, lower=True, transpose_a=True
     )[..., 0]
-    f = (1.0 + alpha) - jnp.sum(b * c_vec, axis=-1)
+    f = (1.0 + alpha_own) - jnp.sum(b * c_vec, axis=-1)
     return b, f
 
 
