@@ -129,6 +129,8 @@ def run_chains_chunked(
     target_chunk_seconds: float = 12.0,
     progress_fn: Callable = None,
     worst_case_factor_fn: Callable = None,
+    checkpoint_path: str = None,
+    checkpoint_every: int = 0,
 ):
     """Host-chunked multi-chain MCMC driver.
 
@@ -140,13 +142,54 @@ def run_chains_chunked(
     step and sizes chunks to ~``target_chunk_seconds``; exactly two programs
     are compiled (single step + chunk scan) and reused for every chunk.
 
+    With ``checkpoint_path`` the full chain state (plus progress counters) is
+    saved every ``checkpoint_every`` chunks and a run that finds an existing
+    checkpoint resumes from it — preemption resilience (SURVEY.md sec 5.3/5.4;
+    the reference simply reruns crashed jobs).
+
     Returns (final_states, draws) with draws stacked (n_chains, n_samples).
     """
+    import os
     import time
 
     k_init, k_run = jax.random.split(key)
     init_keys = jax.random.split(k_init, n_chains)
     states = jax.jit(jax.vmap(init_fn))(init_keys)
+
+    resume_burn, resume_draws, prior_blocks = 0, 0, []
+    if checkpoint_path and os.path.exists(checkpoint_path + ".npz"):
+        import json
+
+        from pynngp_tpu.utils.checkpoint import load_state
+
+        with open(checkpoint_path + ".json") as fh:
+            meta = json.load(fh).get("extra", {})
+        states = load_state(checkpoint_path, states)
+        resume_burn = int(meta.get("burn_done", 0))
+        resume_draws = int(meta.get("draws_done", 0))
+        draws_file = checkpoint_path + ".draws.npz"
+        if resume_draws and os.path.exists(draws_file):
+            z = np.load(draws_file, allow_pickle=True)
+            prior_blocks = [
+                {k: z[k] for k in z.files}
+            ]
+
+    def _checkpoint(burn_done, draws_done, collected):
+        if not checkpoint_path:
+            return
+        from pynngp_tpu.utils.checkpoint import save_state
+
+        save_state(
+            checkpoint_path, states_box[0],
+            extra={"burn_done": int(burn_done), "draws_done": int(draws_done)},
+        )
+        if collected:
+            merged = jax.tree.map(
+                lambda *xs: np.concatenate(xs, axis=0), *collected
+            )
+            np.savez(checkpoint_path + ".draws.npz", **merged)
+
+    states_box = [states]
 
     def batched_step(states, i):
         ks = jax.vmap(lambda c: jax.random.fold_in(jax.random.fold_in(k_run, i), c))(
@@ -179,13 +222,19 @@ def run_chains_chunked(
         return states
 
     burn_c = jax.jit(burn_chunk)
-    it = 0
+    it = resume_burn
+    chunks_since_ckpt = 0
     while it < n_burn:
         states = burn_c(states, jnp.asarray(it, jnp.int32))
+        states_box[0] = states
         it += chunk
+        chunks_since_ckpt += 1
+        if checkpoint_every and chunks_since_ckpt >= checkpoint_every:
+            _checkpoint(it, 0, [])
+            chunks_since_ckpt = 0
         if progress_fn:
             progress_fn("burn", min(it, n_burn), n_burn)
-    burn_total = it  # may exceed n_burn by < chunk (extra burn is harmless)
+    burn_total = max(it, n_burn)  # may exceed n_burn by < chunk (harmless)
 
     chunk_draws = max(1, chunk // thin)
 
@@ -200,14 +249,19 @@ def run_chains_chunked(
         return lax.scan(body, states, jnp.arange(chunk_draws))
 
     draw_c = jax.jit(draw_chunk)
-    collected = []
-    got = 0
+    collected = list(prior_blocks)
+    got = resume_draws
     while got < n_samples:
         states, block = draw_c(
             states, jnp.asarray(burn_total + got * thin, jnp.int32)
         )
+        states_box[0] = states
         collected.append(jax.tree.map(np.asarray, block))
         got += chunk_draws
+        chunks_since_ckpt += 1
+        if checkpoint_every and chunks_since_ckpt >= checkpoint_every:
+            _checkpoint(burn_total, got, collected)
+            chunks_since_ckpt = 0
         if progress_fn:
             progress_fn("sample", min(got, n_samples), n_samples)
     draws = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *collected)

@@ -258,7 +258,10 @@ class LatentNNGP:
             resid = resid.at[ci_s].add(-bc_s * delta[:, None])
             return (w, resid), None
 
-        (w, _), _ = lax.scan(color_pass, (w, resid), jnp.arange(self.n_colors))
+        with jax.named_scope("chromatic_w"):
+            (w, _), _ = lax.scan(
+                color_pass, (w, resid), jnp.arange(self.n_colors)
+            )
         return w
 
     def _update_w_sequential(self, key, w, b, f, sigma2, tau2, beta):
@@ -468,6 +471,7 @@ class LatentNNGP:
         init: Optional[dict] = None,
         collect_w: bool = True,
         jit: bool = True,
+        **driver_kwargs,
     ):
         from pynngp_tpu.models.base import run_chains_chunked
 
@@ -483,6 +487,7 @@ class LatentNNGP:
             n_samples,
             n_burn,
             thin,
+            **driver_kwargs,
         )
         if n_chains == 1:
             draws = jax.tree.map(lambda a: a[0], draws)

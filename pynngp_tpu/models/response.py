@@ -597,6 +597,7 @@ class ResponseNNGP:
         target_accept: float = 0.8,
         init: Optional[dict] = None,
         jit: bool = True,
+        **driver_kwargs,
     ):
         """NUTS over the joint hyperparameter (+ fixed-effect) posterior.
 
@@ -626,6 +627,7 @@ class ResponseNNGP:
             thin,
             worst_case_factor_fn=lambda s: (2**max_depth)
             / max(float(np.mean(np.asarray(s.info.n_leapfrog))), 1.0),
+            **driver_kwargs,
         )
         if n_chains == 1:
             draws = jax.tree.map(lambda a: a[0], draws)
@@ -642,6 +644,7 @@ class ResponseNNGP:
         target_accept: float = 0.8,
         init: Optional[dict] = None,
         jit: bool = True,
+        **driver_kwargs,
     ):
         """Fixed-length (jittered) HMC over the joint posterior (host-chunked
         like sample_nuts)."""
@@ -667,6 +670,7 @@ class ResponseNNGP:
             n_samples,
             n_burn,
             thin,
+            **driver_kwargs,
         )
         if n_chains == 1:
             draws = jax.tree.map(lambda a: a[0], draws)
@@ -681,6 +685,7 @@ class ResponseNNGP:
         seed: int = 0,
         init: Optional[dict] = None,
         jit: bool = True,
+        **driver_kwargs,
     ):
         """Run the sampler; returns a dict of posterior draws with leading
         axes (n_chains, n_samples) (chain axis dropped when n_chains=1).
@@ -698,6 +703,7 @@ class ResponseNNGP:
             n_samples,
             n_burn,
             thin,
+            **driver_kwargs,
         )
         if n_chains == 1:
             draws = jax.tree.map(lambda a: a[0], draws)

@@ -213,9 +213,14 @@ def _run_suffstats(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4,
 
     grid = (s,)
     kern = partial(_suffstats_kernel, m, rho)
+    with jax.named_scope("pallas_suffstats"):
+        return _pallas_suffstats_call(kern, cache, s, m, params, y_own4, y_nbr4)
+
+
+def _pallas_suffstats_call(kern, cache, s, m, params, y_own4, y_nbr4):
     f4, resid4 = pl.pallas_call(
         kern,
-        grid=grid,
+        grid=(s,),
         in_specs=[
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 1, _SUBLANES, _LANES), lambda i: (0, i, 0, 0)),

@@ -189,6 +189,13 @@ def _build_subtree(
 
 def nuts_step(key, z, value, grad, value_and_grad_fn, step_size, inv_mass, max_depth=8):
     """One multinomial-NUTS transition; returns (z, value, grad, NUTSInfo)."""
+    with jax.named_scope("nuts_step"):
+        return _nuts_step_impl(
+            key, z, value, grad, value_and_grad_fn, step_size, inv_mass, max_depth
+        )
+
+
+def _nuts_step_impl(key, z, value, grad, value_and_grad_fn, step_size, inv_mass, max_depth):
     dtype = z.dtype
     k_mom, k_loop = jax.random.split(key)
     r0 = jax.random.normal(k_mom, z.shape, dtype) / jnp.sqrt(inv_mass)

@@ -171,7 +171,8 @@ def vecchia_bf(kernel, params, data: VecchiaData, alpha=0.0, jitter=1e-6, dist_f
     # valid: rho + alpha_j on diag; masked slots: identity row/col (=> B = 0)
     c_mat = (rho_nn + diag_add) * mask2 + eye * (1.0 - mask2 * eye)
     c_vec = kernel.correlation(d_in, params) * mask_f
-    chol = lax.linalg.cholesky(c_mat)  # batched (n, m, m)
+    with jax.named_scope("vecchia_bf_cholesky"):
+        chol = lax.linalg.cholesky(c_mat)  # batched (n, m, m)
     # B = C^{-1} c via two triangular solves.
     tmp = lax.linalg.triangular_solve(
         chol, c_vec[..., None], left_side=True, lower=True
