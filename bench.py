@@ -36,6 +36,9 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pynngp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import pynngp_tpu as pn
 
     rng = np.random.default_rng(0)

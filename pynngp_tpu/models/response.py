@@ -497,9 +497,15 @@ class ResponseNNGP:
     ):
         """Adaptive tempered SMC over the joint posterior.  Returns
         (draws dict with per-particle natural params + 'logw' + 'log_z',
-        per-stage info list)."""
+        per-stage info list).  With a mesh-backed model the particle axis
+        shards over 'chains' and the likelihood over 'sites'."""
         from pynngp_tpu.samplers.smc import smc_sample
 
+        particle_sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            particle_sharding = NamedSharding(self.mesh, P("chains"))
         state, infos = smc_sample(
             self.full_logprior,
             self.full_loglik,
@@ -508,6 +514,7 @@ class ResponseNNGP:
             n_particles=n_particles,
             n_move=n_move,
             verbose=verbose,
+            particle_sharding=particle_sharding,
             **kwargs,
         )
         nat, beta = jax.vmap(self._unpack_full)(state.u)

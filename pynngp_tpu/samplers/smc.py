@@ -179,18 +179,26 @@ def smc_sample(
     resample_ess_frac: float = 0.5,
     max_stages: int = 200,
     verbose: bool = False,
+    particle_sharding=None,
 ):
     """Run adaptive tempered SMC to beta = 1 (host loop over jitted stages).
+
+    ``particle_sharding``: optional ``NamedSharding`` placing the particle
+    axis across devices (the 'chains' mesh axis) — weight normalization/ESS
+    become cross-device reductions and systematic resampling a gather, all
+    inserted by the compiler (SURVEY.md section 5.8 SMC collectives).
 
     Returns (final SMCState, list of per-stage info dicts).  Final particles
     with ``state.logw`` weights target the posterior; ``state.log_z`` is the
     log-evidence estimate."""
     k_init, k_run = jax.random.split(key)
     u0 = prior_sample_fn(k_init, n_particles)
+    if particle_sharding is not None:
+        u0 = jax.device_put(u0, particle_sharding)
     state = SMCState(
         u=u0,
-        loglik=jax.vmap(loglik_fn)(u0),
-        logprior=jax.vmap(logprior_fn)(u0),
+        loglik=jax.jit(jax.vmap(loglik_fn))(u0),
+        logprior=jax.jit(jax.vmap(logprior_fn))(u0),
         logw=jnp.zeros((n_particles,), u0.dtype),
         beta=jnp.zeros((), u0.dtype),
         log_z=jnp.zeros((), u0.dtype),

@@ -18,6 +18,9 @@ import jax  # noqa: E402
 # touch the real chip.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: repeat suite runs skip recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pynngp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -62,3 +62,18 @@ def test_mesh_mwg_matches_single_device_posterior(field):
     for name in ("tau2", "phi"):
         a, b = d_mesh[name], d_single[name]
         assert abs(a.mean() - b.mean()) < 0.1 * abs(b.mean()) + 4 * b.std() / 10
+
+
+def test_mesh_smc_sharded_particles(field):
+    """SPEC config 4 shape at toy scale: SMC with particles sharded over the
+    'chains' axis and the likelihood psum'd over 'sites'."""
+    coords, w, y = field
+    mesh = make_mesh(2, 4)
+    model = ResponseNNGP(coords, y, kernel="exponential", m=8,
+                         dtype=jnp.float64, mesh=mesh)
+    draws, infos = model.sample_smc(n_particles=512, n_move=4, seed=9)
+    assert float(infos[-1]["beta"]) == 1.0
+    wts = np.exp(draws["logw"] - np.logaddexp.reduce(draws["logw"]))
+    tau2_mean = float((wts * draws["tau2"]).sum())
+    assert 0.02 < tau2_mean < 0.4  # truth 0.1
+    assert np.isfinite(draws["log_z"])
