@@ -5,21 +5,27 @@ the headline kernel of the whole framework.
 Why not XLA's batched Cholesky: ``lax.linalg.cholesky`` on (n, 15, 15)
 batches is generic blocked code — measured ~170 ms per log-lik eval at
 n=100k on a v5e chip.  This kernel instead uses a **batch-in-lanes** layout:
-all per-site m-by-m quantities live as scalars-of-vectors, shape
-``(..., 8, 128)`` = 1024 sites per grid cell, so the unrolled
+all per-site m-by-m quantities live as scalars-of-vectors, so the unrolled
 Cholesky-Crout recurrence (m^3/6 fused multiply-adds) runs at full VPU
 width with zero wasted lanes, fused with the correlation evaluation,
 masking, forward solves and residual computation in one pass over HBM.
 
-Key algebra: the log-likelihood needs only F_i and r_i = y_i - B_i.y_N —
-with u = L^-1 c and v = L^-1 y_N these are F = (1+alpha) - u.u and
-B.y_N = u.v, so no back-substitution is required (half the solve cost of
-the reference's explicit-B formulation).
+Two measured performance facts shape the layout (v5e, n=100k, m=15):
+
+- The recurrence is a long *dependent* chain of vector ops; on a single
+  (8, 128) tile the VPU pipeline stalls on latency, not throughput
+  (per-tile time was flat in m).  Each grid cell therefore processes
+  ``t_cell`` tiles at once — every vector op carries (t_cell*8, 128)
+  elements, amortizing the dependency latency t_cell-fold.
+- The dominant HBM stream is the neighbor-pair distance table; only the
+  strict lower triangle is ever read, so it is stored **packed**:
+  ``d_tri`` has m(m-1)/2 planes instead of m^2 (2.1x less traffic and
+  footprint at m=15; 800 MB -> 380 MB for the n=500k, m=20 config).
 
 Layouts are precomputed lane-major ONCE per dataset (distances never depend
-on hyperparameters): d_nn as (m, m, n/128, 128), d_in/mask/nn_idx as
-(m, n/128, 128).  A log-lik evaluation then reads each input exactly once,
-so the kernel is HBM-bandwidth-bound at ~(m^2+2m+...) * 4B per site.
+on hyperparameters): d_tri as (m(m-1)/2, S, 8, 128), d_in/mask/nn_idx as
+(m, S, 8, 128).  A log-lik evaluation then reads each input exactly once,
+so the kernel streams ~(m^2/2 + 4m) * 4 bytes per site.
 """
 
 from __future__ import annotations
@@ -63,18 +69,35 @@ def pallas_supported(kernel) -> bool:
 
 _LANES = 128
 _SUBLANES = 8
-TILE = _LANES * _SUBLANES  # 1024 sites per grid cell
+TILE = _LANES * _SUBLANES  # 1024 sites per (8, 128) tile
+
+
+def _tri(i: int, k: int) -> int:
+    """Packed-triangle plane index for the (i, k), i > k neighbor pair."""
+    return i * (i - 1) // 2 + k
+
+
+def _default_t_cell(m: int) -> int:
+    """Tiles per grid cell: as many as fit a ~4 MB input block (double-
+    buffered comfortably inside ~16 MB VMEM), in {1, 2, 4, 8}."""
+    floats_per_tile = (m * (m - 1) // 2 + 4 * m + 2) * TILE
+    budget = int(4e6 // (4 * floats_per_tile))
+    for t in (8, 4, 2, 1):
+        if t <= max(budget, 1):
+            return t
+    return 1
 
 
 class LaneCache(NamedTuple):
     """Lane-major, tile-padded per-site tables (device arrays)."""
 
     d_in: jax.Array  # (m, S, 8, 128)  site->neighbor distances
-    d_nn: jax.Array  # (m, m, S, 8, 128) neighbor-pair distances
+    d_tri: jax.Array  # (max(m(m-1)/2, 1), S, 8, 128) packed neighbor pairs
     mask: jax.Array  # (m, S, 8, 128) float32 validity
     nn_idx: jax.Array  # (m, S, 8, 128) int32 neighbor ids (global)
     n: int  # true site count
     n_pad: int  # padded site count = S * 1024
+    t_cell: int  # tiles per Pallas grid cell (S % t_cell == 0)
 
     @property
     def m(self):
@@ -85,14 +108,19 @@ class LaneCache(NamedTuple):
         return self.d_in.shape[1]
 
 
-def make_lane_cache(data: VecchiaData, dtype=jnp.float32) -> LaneCache:
+def make_lane_cache(data: VecchiaData, dtype=jnp.float32,
+                    t_cell: int | None = None) -> LaneCache:
     """Host-side relayout of the (hyperparameter-independent) caches."""
     n, m = data.nn_idx.shape
-    n_pad = ((n + TILE - 1) // TILE) * TILE
+    if t_cell is None:
+        t_cell = _default_t_cell(m)
+    cell = TILE * t_cell
+    n_pad = ((n + cell - 1) // cell) * cell
     s = n_pad // TILE
+    p = max(m * (m - 1) // 2, 1)
 
     d_in = np.zeros((m, n_pad), np.float32)
-    d_nn = np.zeros((m, m, n_pad), np.float32)
+    d_tri = np.zeros((p, n_pad), np.float32)
     mask = np.zeros((m, n_pad), np.float32)
     nn_idx = np.zeros((m, n_pad), np.int32)
 
@@ -106,7 +134,9 @@ def make_lane_cache(data: VecchiaData, dtype=jnp.float32) -> LaneCache:
         din_nm = np.asarray(data.nn_dist)
         dnn_nmm = np.asarray(data.nn_cross_dist)
     d_in[:, :n] = din_nm.T
-    d_nn[:, :, :n] = np.transpose(dnn_nmm, (1, 2, 0))
+    for i in range(1, m):
+        for k in range(i):
+            d_tri[_tri(i, k), :n] = dnn_nmm[:, i, k]
     mask[:, :n] = np.asarray(data.nn_mask, np.float32).T
     nn_idx[:, :n] = np.asarray(data.nn_idx, np.int32).T
 
@@ -115,11 +145,12 @@ def make_lane_cache(data: VecchiaData, dtype=jnp.float32) -> LaneCache:
 
     return LaneCache(
         d_in=jnp.asarray(shape4(d_in), dtype),
-        d_nn=jnp.asarray(shape4(d_nn), dtype),
+        d_tri=jnp.asarray(shape4(d_tri), dtype),
         mask=jnp.asarray(shape4(mask), dtype),
         nn_idx=jnp.asarray(shape4(nn_idx)),
         n=n,
         n_pad=n_pad,
+        t_cell=t_cell,
     )
 
 
@@ -156,10 +187,12 @@ def _rho_fn(kernel):
     )
 
 
-def _suffstats_kernel(m, rho, params_ref, d_in_ref, d_nn_ref, mask_ref,
+def _suffstats_kernel(m, rho, params_ref, d_in_ref, d_tri_ref, mask_ref,
                       ynbr_ref, yown_ref, f_ref, resid_ref):
-    """One 1024-site tile: correlation build + masked Cholesky + two forward
-    solves, fully unrolled over the static m."""
+    """One t_cell*1024-site cell: correlation build + masked Cholesky + two
+    forward solves, fully unrolled over the static m.  Every ref slice below
+    is a (t_cell, 8, 128) array, so each vector op carries t_cell tiles —
+    enough independent elements to hide the recurrence's VPU latency."""
     phi = params_ref[0, 0]
     alpha = params_ref[0, 1]
     jitter = params_ref[0, 2]
@@ -190,7 +223,7 @@ def _suffstats_kernel(m, rho, params_ref, d_in_ref, d_nn_ref, mask_ref,
         v[k] = av * inv_diag[k]
         for i in range(k + 1, m):
             mij = masks[i] * masks[k]
-            acc = rho(d_nn_ref[i, k], phi) * mij
+            acc = rho(d_tri_ref[_tri(i, k)], phi) * mij
             for j in range(k):
                 acc = acc - low[i][j] * low[k][j]
             low[i][k] = acc * inv_diag[k]
@@ -204,6 +237,16 @@ def _suffstats_kernel(m, rho, params_ref, d_in_ref, d_nn_ref, mask_ref,
     resid_ref[...] = yown_ref[...] - bdoty
 
 
+def _cell_specs(m, p, t):
+    """(in_specs, out_block) shared by the kernels: per grid cell, all m (or
+    packed-triangle) planes of t tiles."""
+    plane = lambda np_: pl.BlockSpec(
+        (np_, t, _SUBLANES, _LANES), lambda i: (0, i, 0, 0)
+    )
+    site = pl.BlockSpec((t, _SUBLANES, _LANES), lambda i: (i, 0, 0))
+    return plane, site
+
+
 def _run_suffstats(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4,
                    jitter):
     m = cache.m
@@ -211,47 +254,39 @@ def _run_suffstats(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4,
     rho = _rho_fn(kernel)
     params = jnp.stack([phi, alpha, jnp.asarray(jitter, phi.dtype)]).reshape(1, 3)
 
-    grid = (s,)
     kern = partial(_suffstats_kernel, m, rho)
     with jax.named_scope("pallas_suffstats"):
         return _pallas_suffstats_call(kern, cache, s, m, params, y_own4, y_nbr4)
 
 
 def _pallas_suffstats_call(kern, cache, s, m, params, y_own4, y_nbr4):
+    t = cache.t_cell
+    p = cache.d_tri.shape[0]
+    plane, site = _cell_specs(m, p, t)
     f4, resid4 = pl.pallas_call(
         kern,
-        grid=(s,),
+        grid=(s // t,),
         in_specs=[
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((m, 1, _SUBLANES, _LANES), lambda i: (0, i, 0, 0)),
-            pl.BlockSpec((m, m, 1, _SUBLANES, _LANES), lambda i: (0, 0, i, 0, 0)),
-            pl.BlockSpec((m, 1, _SUBLANES, _LANES), lambda i: (0, i, 0, 0)),
-            pl.BlockSpec((m, 1, _SUBLANES, _LANES), lambda i: (0, i, 0, 0)),
-            pl.BlockSpec((1, _SUBLANES, _LANES), lambda i: (i, 0, 0)),
+            plane(m),
+            plane(p),
+            plane(m),
+            plane(m),
+            site,
         ],
-        out_specs=[
-            pl.BlockSpec((1, _SUBLANES, _LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, _SUBLANES, _LANES), lambda i: (i, 0, 0)),
-        ],
+        out_specs=[site, site],
         out_shape=[
             jax.ShapeDtypeStruct((s, _SUBLANES, _LANES), y_own4.dtype),
             jax.ShapeDtypeStruct((s, _SUBLANES, _LANES), y_own4.dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=cache.n_pad * (m**3 // 3 + 3 * m * m),
-            bytes_accessed=cache.n_pad * 4 * (m * m + 4 * m + 3),
+            bytes_accessed=cache.n_pad * 4 * (m * (m - 1) // 2 + 4 * m + 3),
             transcendentals=cache.n_pad * (m * (m - 1) // 2 + m),
         ),
         interpret=_interpret(),
-    )(params, cache.d_in, cache.d_nn, cache.mask, y_nbr4, y_own4)
+    )(params, cache.d_in, cache.d_tri, cache.mask, y_nbr4, y_own4)
     return f4, resid4
-
-
-def _block_squeeze(kern):
-    """Pallas delivers blocks with the leading grid-mapped dims of size 1;
-    refs are indexed accordingly inside _suffstats_kernel via ref[i] ->
-    (1, 8, 128) slices, which broadcast fine."""
-    return kern
 
 
 def pallas_suffstats(kernel, params, cache: LaneCache, y, alpha, jitter=1e-6,
@@ -261,11 +296,11 @@ def pallas_suffstats(kernel, params, cache: LaneCache, y, alpha, jitter=1e-6,
     Args:
       params: {"phi": scalar} (static-nu Matern carries nu in the kernel).
       y: (n,) ordered values — gathered to neighbors on the fly (one XLA
-        gather; everything else is precomputed lane-major).
+        gather, hoisted out of sampler loops by LICM since nn_idx is
+        constant; everything else is precomputed lane-major).
       y_own: optional padded (n_pad,) own values (defaults to padded y).
-    Returns logdet and quad as scalars (padded sites excluded via mask of
-    f==1+alpha? no — via explicit padding: padded rows are fully masked so
-    resid = y_own(=0) and f = 1+alpha; they are excluded by zeroing below).
+    Returns logdet and quad as scalars (padded sites are fully masked and
+    excluded from the reductions below).
     """
     m = cache.m
     s = cache.s_tiles
@@ -343,7 +378,7 @@ def _drho_fn(kernel):
     raise NotImplementedError(kernel)
 
 
-def _grad_kernel(m, rho, drho, params_ref, d_in_ref, d_nn_ref, mask_ref,
+def _grad_kernel(m, rho, drho, params_ref, d_in_ref, d_tri_ref, mask_ref,
                  ynbr_ref, yown_ref,
                  dld_dphi_ref, dq_dphi_ref, dld_da_ref, dq_da_ref):
     """Backward pass: recompute the factorization, back-substitute, contract
@@ -377,7 +412,7 @@ def _grad_kernel(m, rho, drho, params_ref, d_in_ref, d_nn_ref, mask_ref,
         v[k] = av * inv_diag[k]
         for i in range(k + 1, m):
             mij = masks[i] * masks[k]
-            acc = rho(d_nn_ref[i, k], phi) * mij
+            acc = rho(d_tri_ref[_tri(i, k)], phi) * mij
             for j in range(k):
                 acc = acc - low[i][j] * low[k][j]
             low[i][k] = acc * inv_diag[k]
@@ -411,7 +446,7 @@ def _grad_kernel(m, rho, drho, params_ref, d_in_ref, d_nn_ref, mask_ref,
         dr_phi = dr_phi - dc[i] * q[i]
     for i in range(m):
         for j in range(i + 1, m):
-            dcij = drho(d_nn_ref[i, j], phi) * masks[i] * masks[j]
+            dcij = drho(d_tri_ref[_tri(j, i)], phi) * masks[i] * masks[j]
             df_phi = df_phi + 2.0 * p[i] * p[j] * dcij
             dr_phi = dr_phi + (p[i] * q[j] + p[j] * q[i]) * dcij
 
@@ -430,38 +465,40 @@ def _grad_kernel(m, rho, drho, params_ref, d_in_ref, d_nn_ref, mask_ref,
 def _run_grad(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4, jitter):
     m = cache.m
     s = cache.s_tiles
+    t = cache.t_cell
+    p = cache.d_tri.shape[0]
     rho = _rho_fn(kernel)
     drho = _drho_fn(kernel)
     params = jnp.stack([phi, alpha, jnp.asarray(jitter, phi.dtype)]).reshape(1, 3)
     kern = partial(_grad_kernel, m, rho, drho)
-    blk = pl.BlockSpec((1, _SUBLANES, _LANES), lambda i: (i, 0, 0))
+    plane, site = _cell_specs(m, p, t)
     outs = pl.pallas_call(
         kern,
-        grid=(s,),
+        grid=(s // t,),
         in_specs=[
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((m, 1, _SUBLANES, _LANES), lambda i: (0, i, 0, 0)),
-            pl.BlockSpec((m, m, 1, _SUBLANES, _LANES), lambda i: (0, 0, i, 0, 0)),
-            pl.BlockSpec((m, 1, _SUBLANES, _LANES), lambda i: (0, i, 0, 0)),
-            pl.BlockSpec((m, 1, _SUBLANES, _LANES), lambda i: (0, i, 0, 0)),
-            blk,
+            plane(m),
+            plane(p),
+            plane(m),
+            plane(m),
+            site,
         ],
-        out_specs=[blk, blk, blk, blk],
+        out_specs=[site, site, site, site],
         out_shape=[
             jax.ShapeDtypeStruct((s, _SUBLANES, _LANES), y_own4.dtype)
             for _ in range(4)
         ],
         cost_estimate=pl.CostEstimate(
             flops=cache.n_pad * (m**3 // 2 + 6 * m * m),
-            bytes_accessed=cache.n_pad * 4 * (m * m + 4 * m + 7),
+            bytes_accessed=cache.n_pad * 4 * (m * (m - 1) // 2 + 4 * m + 7),
             transcendentals=cache.n_pad * (m * m + m),
         ),
         interpret=_interpret(),
-    )(params, cache.d_in, cache.d_nn, cache.mask, y_nbr4, y_own4)
+    )(params, cache.d_in, cache.d_tri, cache.mask, y_nbr4, y_own4)
     return outs  # dld_dphi, dq_dphi, dld_da, dq_da (per-site)
 
 
-def _bf_kernel(m, rho, params_ref, d_in_ref, d_nn_ref, mask_ref, b_ref, f_ref):
+def _bf_kernel(m, rho, params_ref, d_in_ref, d_tri_ref, mask_ref, b_ref, f_ref):
     """Explicit kriging weights B = C^-1 c (back-substituted) and F — the
     outputs the latent-w Gibbs machinery and the beta update consume."""
     phi = params_ref[0, 0]
@@ -485,7 +522,7 @@ def _bf_kernel(m, rho, params_ref, d_in_ref, d_nn_ref, mask_ref, b_ref, f_ref):
         u[k] = au * inv_diag[k]
         for i in range(k + 1, m):
             mij = masks[i] * masks[k]
-            acc = rho(d_nn_ref[i, k], phi) * mij
+            acc = rho(d_tri_ref[_tri(i, k)], phi) * mij
             for j in range(k):
                 acc = acc - low[i][j] * low[k][j]
             low[i][k] = acc * inv_diag[k]
@@ -505,23 +542,26 @@ def pallas_bf(kernel, params, cache: LaneCache, alpha, jitter=1e-6):
     standard row-major layout consumed by the Gibbs/beta/prediction code."""
     m = cache.m
     s = cache.s_tiles
+    t = cache.t_cell
+    p = cache.d_tri.shape[0]
     rho = _rho_fn(kernel)
     phi = jnp.asarray(params["phi"], cache.d_in.dtype)
     alpha = jnp.asarray(alpha, phi.dtype)
     pvec = jnp.stack([phi, alpha, jnp.asarray(jitter, phi.dtype)]).reshape(1, 3)
     kern = partial(_bf_kernel, m, rho)
+    plane, site = _cell_specs(m, p, t)
     b4, f4 = pl.pallas_call(
         kern,
-        grid=(s,),
+        grid=(s // t,),
         in_specs=[
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((m, 1, _SUBLANES, _LANES), lambda i: (0, i, 0, 0)),
-            pl.BlockSpec((m, m, 1, _SUBLANES, _LANES), lambda i: (0, 0, i, 0, 0)),
-            pl.BlockSpec((m, 1, _SUBLANES, _LANES), lambda i: (0, i, 0, 0)),
+            plane(m),
+            plane(p),
+            plane(m),
         ],
         out_specs=[
-            pl.BlockSpec((m, 1, _SUBLANES, _LANES), lambda i: (0, i, 0, 0)),
-            pl.BlockSpec((1, _SUBLANES, _LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((m, t, _SUBLANES, _LANES), lambda i: (0, i, 0, 0)),
+            site,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((m, s, _SUBLANES, _LANES), cache.d_in.dtype),
@@ -529,11 +569,11 @@ def pallas_bf(kernel, params, cache: LaneCache, alpha, jitter=1e-6):
         ],
         cost_estimate=pl.CostEstimate(
             flops=cache.n_pad * (m**3 // 3 + 2 * m * m),
-            bytes_accessed=cache.n_pad * 4 * (m * m + 4 * m + 1),
+            bytes_accessed=cache.n_pad * 4 * (m * (m - 1) // 2 + 4 * m + 1),
             transcendentals=cache.n_pad * (m * (m - 1) // 2 + m),
         ),
         interpret=_interpret(),
-    )(pvec, cache.d_in, cache.d_nn, cache.mask)
+    )(pvec, cache.d_in, cache.d_tri, cache.mask)
     n = cache.n
     b = b4.reshape(m, cache.n_pad).T[:n]
     f = f4.reshape(cache.n_pad)[:n]

@@ -60,8 +60,12 @@ class VecchiaData(NamedTuple):
     coords: jax.Array  # (n, d)
     nn_idx: jax.Array  # (n, m) int32
     nn_mask: jax.Array  # (n, m) bool
-    nn_dist: Optional[jax.Array] = None  # (n, m)
-    nn_cross_dist: Optional[jax.Array] = None  # (n, m, m)
+    # Host-side (numpy) distance caches: the Pallas lane cache consumes them
+    # on the host (device round-trips of the (n, m, m) table cost ~45 s at
+    # n=100k over remote-dispatch links); the XLA path closes over them, so
+    # they are embedded/transferred once per compile, not per call.
+    nn_dist: Optional[jax.Array] = None  # (n, m) numpy
+    nn_cross_dist: Optional[jax.Array] = None  # (n, m, m) numpy
 
     @property
     def n(self) -> int:
@@ -121,8 +125,9 @@ def make_vecchia_data(
                     jnp.asarray(pts_host), jnp.asarray(table.nn_idx), dist_fn
                 )
             )
+        np_dtype = np.dtype(jnp.dtype(dtype).name)
         data = VecchiaData(
-            pts, nn_idx, nn_mask, jnp.asarray(d_in, dtype), jnp.asarray(d_nn, dtype)
+            pts, nn_idx, nn_mask, d_in.astype(np_dtype), d_nn.astype(np_dtype)
         )
     else:
         data = VecchiaData(pts, nn_idx, nn_mask)
