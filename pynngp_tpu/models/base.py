@@ -154,7 +154,9 @@ def run_chains_chunked(
 
     k_init, k_run = jax.random.split(key)
     init_keys = jax.random.split(k_init, n_chains)
-    states = jax.jit(jax.vmap(init_fn))(init_keys)
+    from pynngp_tpu.utils.jit import jit_bound
+
+    states = jit_bound(jax.vmap(init_fn))(init_keys)
 
     resume_burn, resume_draws, prior_blocks = 0, 0, []
     if checkpoint_path and os.path.exists(checkpoint_path + ".npz"):
@@ -198,7 +200,7 @@ def run_chains_chunked(
         return jax.vmap(step_fn)(ks, states)
 
     if chunk is None:
-        one = jax.jit(lambda s: batched_step(s, jnp.zeros((), jnp.int32)))
+        one = jit_bound(lambda s: batched_step(s, jnp.zeros((), jnp.int32)))
         states_test = one(states)
         jax.block_until_ready(states_test)  # compile
         t0 = time.time()
@@ -221,7 +223,7 @@ def run_chains_chunked(
         states, _ = lax.scan(body, states, jnp.arange(chunk))
         return states
 
-    burn_c = jax.jit(burn_chunk)
+    burn_c = jit_bound(burn_chunk)
     it = resume_burn
     chunks_since_ckpt = 0
     while it < n_burn:
@@ -248,7 +250,7 @@ def run_chains_chunked(
 
         return lax.scan(body, states, jnp.arange(chunk_draws))
 
-    draw_c = jax.jit(draw_chunk)
+    draw_c = jit_bound(draw_chunk)
     collected = list(prior_blocks)
     got = resume_draws
     while got < n_samples:

@@ -85,6 +85,7 @@ class LatentNNGP:
         noise="homogeneous",
     ):
         from pynngp_tpu.noise import get_noise
+        from pynngp_tpu.utils.jit import DataRef
 
         assert w_update in ("chromatic", "sequential")
         self.noise = get_noise(noise)
@@ -92,33 +93,29 @@ class LatentNNGP:
         self.dtype = dtype
         self.jitter = jitter
         self.w_update = w_update
-        self.data = prepare_spatial_data(
+        sd = prepare_spatial_data(
             coords, y, m, x=x, ordering=ordering, distance=distance, dtype=dtype,
             precompute_distances=precompute_distances,
         )
-        self.n = self.data.y.shape[0]
-        self.m = self.data.vecchia.m
-        self.p = 0 if self.data.x is None else self.data.x.shape[1]
+        self.table = sd.table
+        self.n = sd.y.shape[0]
+        self.m = sd.vecchia.m
+        self.p = 0 if sd.x is None else sd.x.shape[1]
         # heterogeneous measurement noise tau2 * v_i (noiseModel.h analog):
         # fixed weights v in ordered space; homogeneous => v = 1
         self._hetero = self.noise.name == "heterogeneous"
         if self._hetero:
-            v = np.asarray(self.noise.v)[self.data.table.order]
-            self._noise_w = jnp.asarray(v, dtype)
+            v = np.asarray(self.noise.v)[sd.table.order]
+            noise_w = jnp.asarray(v, dtype)
         else:
-            self._noise_w = jnp.ones((self.n,), dtype)
+            noise_w = jnp.ones((self.n,), dtype)
 
-        tab = self.data.table
+        tab = sd.table
         ch = build_children_table(tab.nn_idx, tab.nn_mask)
-        self.child_idx = jnp.asarray(ch.child_idx)
-        self.child_slot = jnp.asarray(ch.child_slot)
-        self.child_mask = jnp.asarray(ch.child_mask)
         colors = color_moral_graph(tab.nn_idx, tab.nn_mask)
         self.n_colors = int(colors.max()) + 1
-        self.colors = jnp.asarray(colors)
+        self.colors = colors  # host numpy
         sites, smask = color_site_table(colors)
-        self.color_sites = jnp.asarray(sites)  # (n_colors, max_sz)
-        self.color_smask = jnp.asarray(smask)
 
         from pynngp_tpu.ops import pallas_bf as _pb
 
@@ -134,8 +131,29 @@ class LatentNNGP:
         if backend == "pallas" and not _pb.pallas_supported(self.kernel):
             raise ValueError(f"pallas backend does not support {self.kernel!r}")
         self.backend = backend
+
+        lane_cache = None
+        vd = sd.vecchia
         if backend == "pallas":
-            self._lane_cache = _pb.make_lane_cache(self.data.vecchia, dtype)
+            lane_cache = _pb.make_lane_cache(vd, dtype)
+            vd = vd._replace(nn_dist=None, nn_cross_dist=None)
+        elif vd.nn_dist is not None:
+            vd = vd._replace(
+                nn_dist=jnp.asarray(vd.nn_dist),
+                nn_cross_dist=jnp.asarray(vd.nn_cross_dist),
+            )
+
+        # all big per-site tables ride jit boundaries as arguments through
+        # this ref (utils/jit.py) rather than baked program constants
+        self._big = DataRef({
+            "vecchia": vd, "y": sd.y, "x": sd.x, "lane": lane_cache,
+            "noise_w": noise_w,
+            "child_idx": jnp.asarray(ch.child_idx),
+            "child_slot": jnp.asarray(ch.child_slot),
+            "child_mask": jnp.asarray(ch.child_mask),
+            "color_sites": jnp.asarray(sites),  # (n_colors, max_sz)
+            "color_smask": jnp.asarray(smask),
+        })
 
         coords = np.asarray(coords)
         span = float(np.max(coords.max(0) - coords.min(0))) if coords.size else 1.0
@@ -158,6 +176,42 @@ class LatentNNGP:
         if self._sample_nu:
             pn = self.priors["nu"]
             self._t_nu = logit_transform(pn.lo, pn.hi)
+
+    # ---- late-bound data access (utils/jit.py) -------------------------
+    @property
+    def data(self):
+        big = self._big()
+        from pynngp_tpu.models.base import SpatialData
+
+        return SpatialData(big["vecchia"], self.table, big["y"], big["x"])
+
+    @property
+    def _lane_cache(self):
+        return self._big()["lane"]
+
+    @property
+    def _noise_w(self):
+        return self._big()["noise_w"]
+
+    @property
+    def child_idx(self):
+        return self._big()["child_idx"]
+
+    @property
+    def child_slot(self):
+        return self._big()["child_slot"]
+
+    @property
+    def child_mask(self):
+        return self._big()["child_mask"]
+
+    @property
+    def color_sites(self):
+        return self._big()["color_sites"]
+
+    @property
+    def color_smask(self):
+        return self._big()["color_smask"]
 
     # ---- parameter plumbing -------------------------------------------
     def _natural(self, theta_u):

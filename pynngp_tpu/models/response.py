@@ -78,6 +78,7 @@ class ResponseNNGP:
         noise="homogeneous",
     ):
         from pynngp_tpu.noise import get_noise
+        from pynngp_tpu.utils.jit import DataRef
 
         self.kernel = get_kernel(kernel)
         self.dtype = dtype
@@ -85,7 +86,7 @@ class ResponseNNGP:
         self.joint_theta = joint_theta
         self.mesh = mesh
         self.noise = get_noise(noise)
-        self.data = prepare_spatial_data(
+        sd = prepare_spatial_data(
             coords,
             y,
             m,
@@ -95,16 +96,16 @@ class ResponseNNGP:
             dtype=dtype,
             precompute_distances=precompute_distances,
         )
-        self.n = self.data.y.shape[0]
-        self.p = 0 if self.data.x is None else self.data.x.shape[1]
+        self.table = sd.table
+        self.n = sd.y.shape[0]
+        self.p = 0 if sd.x is None else sd.x.shape[1]
         # heterogeneous noise: fixed per-site weights v (ordered space);
         # relative nugget becomes the vector alpha * v (noiseModel.h analog)
         self._hetero = self.noise.name == "heterogeneous"
+        noise_w = None
         if self._hetero:
-            v = np.asarray(self.noise.v)[self.data.table.order]
-            self._noise_w = jnp.asarray(v, dtype)
-        else:
-            self._noise_w = None
+            v = np.asarray(self.noise.v)[sd.table.order]
+            noise_w = jnp.asarray(v, dtype)
 
         # --- compute backend: fused Pallas kernels when the covariance
         # kernel supports them (SURVEY.md sec 7 step 7), else batched XLA ---
@@ -125,33 +126,55 @@ class ResponseNNGP:
         if backend == "pallas" and not _pb.pallas_supported(self.kernel):
             raise ValueError(f"pallas backend does not support {self.kernel!r}")
         self.backend = backend
+
+        lane_cache = None
+        vd = sd.vecchia
         if backend == "pallas":
-            self._lane_cache = _pb.make_lane_cache(self.data.vecchia, dtype)
-            self._diff_suff = _pb.make_diff_suffstats(
-                self.kernel, self._lane_cache, jitter
-            )
+            lane_cache = _pb.make_lane_cache(vd, dtype)
+            # host-side distance caches are folded into the lane cache; drop
+            # them from the traced bundle (they would transfer per call)
+            vd = vd._replace(nn_dist=None, nn_cross_dist=None)
+        else:
+            # XLA path consumes the distance tables on device: move them
+            # there once so they ride jit_bound as arguments, not per-call
+            # host transfers or baked program constants
+            if vd.nn_dist is not None:
+                vd = vd._replace(
+                    nn_dist=jnp.asarray(vd.nn_dist),
+                    nn_cross_dist=jnp.asarray(vd.nn_cross_dist),
+                )
 
         # --- multi-device: site-sharded likelihood over a (chains, sites)
         # mesh (SURVEY.md sec 5.8).  Overrides the single-device backends for
         # the log-lik; chains additionally shard over the 'chains' axis.  ---
+        sharded = None
         if mesh is not None:
             assert not self._hetero, (
                 "heterogeneous noise + mesh sharding not yet supported"
             )
             from pynngp_tpu.parallel import make_sharded_loglik, shard_vecchia_data
 
-            (
-                self._sh_data,
-                self._sh_y_own,
-                self._sh_y_full,
-                self._sh_valid,
-            ) = shard_vecchia_data(self.data.vecchia, mesh, y=self.data.y)
+            sh_data, sh_y_own, sh_y_full, sh_valid = shard_vecchia_data(
+                sd.vecchia, mesh, y=sd.y
+            )
+            sharded = {
+                "data": sh_data, "y_own": sh_y_own,
+                "y_full": sh_y_full, "valid": sh_valid,
+            }
             self._sh_loglik = make_sharded_loglik(
                 self.kernel, mesh, self.n, jitter
             )
             from pynngp_tpu.parallel import make_sharded_suffstats
 
             self._sh_suff = make_sharded_suffstats(self.kernel, mesh, jitter)
+
+        # every big array rides jit boundaries through this ref (see
+        # utils/jit.py: closure-baked tables blow the remote-compile request
+        # size limit at n=500k)
+        self._big = DataRef({
+            "vecchia": vd, "y": sd.y, "x": sd.x, "lane": lane_cache,
+            "noise_w": noise_w, "sharded": sharded,
+        })
 
         # --- priors (data-informed defaults, overridable) ---
         coords = np.asarray(coords)
@@ -177,6 +200,37 @@ class ResponseNNGP:
         if self._sample_nu:
             pn = self.priors["nu"]
             self._t_nu = logit_transform(pn.lo, pn.hi)
+
+    # ---- late-bound data access (utils/jit.py) -------------------------
+    @property
+    def data(self):
+        """SpatialData view over the DataRef bundle: concrete arrays in
+        eager code, tracer arguments inside jit_bound programs."""
+        big = self._big()
+        from pynngp_tpu.models.base import SpatialData
+
+        return SpatialData(big["vecchia"], self.table, big["y"], big["x"])
+
+    @property
+    def _lane_cache(self):
+        return self._big()["lane"]
+
+    @property
+    def _noise_w(self):
+        return self._big()["noise_w"]
+
+    def _diff_suff(self, phi, alpha, y):
+        """Differentiable fused suffstats, rebuilt per trace so the lane
+        cache enters through the DataRef (not a baked closure)."""
+        from pynngp_tpu.ops import pallas_bf as _pb
+
+        return _pb.make_diff_suffstats(self.kernel, self._lane_cache, self.jitter)(
+            phi, alpha, y
+        )
+
+    @property
+    def _sharded(self):
+        return self._big()["sharded"]
 
     # ---- parameter plumbing -------------------------------------------
     def _natural(self, theta_u):
@@ -227,9 +281,10 @@ class ResponseNNGP:
         nat = self._natural(theta_u)
         resid_y = self.data.y if self.p == 0 else self.data.y - self.data.x @ beta
         if self.mesh is not None and self.p == 0:
+            sh = self._sharded
             logdet, quad = self._sh_suff(
-                self._kparams(nat), nat["alpha"], self._sh_data,
-                self._sh_y_own, self._sh_y_full, self._sh_valid,
+                self._kparams(nat), nat["alpha"], sh["data"],
+                sh["y_own"], sh["y_full"], sh["valid"],
             )
             dummy_b = jnp.zeros((1, 1), self.dtype)
             dummy_f = jnp.ones((1,), self.dtype)
@@ -423,9 +478,10 @@ class ResponseNNGP:
         if self._sample_nu:
             kp["nu"] = nat["nu"]
         if self.mesh is not None and self.p == 0:
+            sh = self._sharded
             return self._sh_loglik(
-                kp, sigma2, alpha, self._sh_data, self._sh_y_own,
-                self._sh_y_full, self._sh_valid,
+                kp, sigma2, alpha, sh["data"], sh["y_own"],
+                sh["y_full"], sh["valid"],
             )
         if self.backend == "pallas" and self.p == 0:
             logdet, quad = self._diff_suff(phi, alpha, self.data.y)
@@ -540,7 +596,9 @@ class ResponseNNGP:
         key = jax.random.PRNGKey(seed)
         k_fit, k_init, k_draw = jax.random.split(key, 3)
         u0 = self._full_init_u(k_init, None)
-        res = jax.jit(
+        from pynngp_tpu.utils.jit import jit_bound
+
+        res = jit_bound(
             lambda: advi_fit(
                 self.full_logpost,
                 self.full_dim(),

@@ -89,7 +89,14 @@ def _default_t_cell(m: int) -> int:
 
 
 class LaneCache(NamedTuple):
-    """Lane-major, tile-padded per-site tables (device arrays)."""
+    """Lane-major, tile-padded per-site tables (device arrays).
+
+    Registered as a pytree whose array fields are children and whose int
+    metadata stays static — so a LaneCache can be passed through ``jit`` as
+    an ARGUMENT.  This matters beyond convenience: closing over the tables
+    bakes them into the serialized program, which remote-compile services
+    reject past ~100 MB (HTTP 413 at n=500k, m=20).
+    """
 
     d_in: jax.Array  # (m, S, 8, 128)  site->neighbor distances
     d_tri: jax.Array  # (max(m(m-1)/2, 1), S, 8, 128) packed neighbor pairs
@@ -106,6 +113,13 @@ class LaneCache(NamedTuple):
     @property
     def s_tiles(self):
         return self.d_in.shape[1]
+
+
+jax.tree_util.register_pytree_node(
+    LaneCache,
+    lambda c: ((c.d_in, c.d_tri, c.mask, c.nn_idx), (c.n, c.n_pad, c.t_cell)),
+    lambda aux, ch: LaneCache(*ch, *aux),
+)
 
 
 def make_lane_cache(data: VecchiaData, dtype=jnp.float32,
@@ -134,9 +148,10 @@ def make_lane_cache(data: VecchiaData, dtype=jnp.float32,
         din_nm = np.asarray(data.nn_dist)
         dnn_nmm = np.asarray(data.nn_cross_dist)
     d_in[:, :n] = din_nm.T
-    for i in range(1, m):
-        for k in range(i):
-            d_tri[_tri(i, k), :n] = dnn_nmm[:, i, k]
+    if m > 1:
+        iu = np.repeat(np.arange(1, m), np.arange(1, m))
+        ku = np.concatenate([np.arange(i) for i in range(1, m)])
+        d_tri[:, :n] = dnn_nmm[:, iu, ku].T
     mask[:, :n] = np.asarray(data.nn_mask, np.float32).T
     nn_idx[:, :n] = np.asarray(data.nn_idx, np.int32).T
 

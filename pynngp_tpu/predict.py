@@ -161,7 +161,9 @@ def predict_draws(
         else jnp.zeros((s_total, 1), dtype)  # placeholder; vals_static used
     )
     xs = (sigma2, tau2, phi, nu_in, vals_in, keys)
-    _, (means, variances, samples) = jax.jit(
+    from pynngp_tpu.utils.jit import jit_bound
+
+    _, (means, variances, samples) = jit_bound(
         lambda xs: lax.scan(scan_fn, 0, xs)
     )(xs)
     out = {"mean": means, "var": variances}

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from pynngp_tpu.utils.jit import jit_bound
+
 __all__ = ["SMCState", "smc_sample", "systematic_resample"]
 
 
@@ -197,14 +199,14 @@ def smc_sample(
         u0 = jax.device_put(u0, particle_sharding)
     state = SMCState(
         u=u0,
-        loglik=jax.jit(jax.vmap(loglik_fn))(u0),
-        logprior=jax.jit(jax.vmap(logprior_fn))(u0),
+        loglik=jit_bound(jax.vmap(loglik_fn))(u0),
+        logprior=jit_bound(jax.vmap(logprior_fn))(u0),
         logw=jnp.zeros((n_particles,), u0.dtype),
         beta=jnp.zeros((), u0.dtype),
         log_z=jnp.zeros((), u0.dtype),
         scale=jnp.ones((), u0.dtype),
     )
-    stage = jax.jit(
+    stage = jit_bound(
         make_smc_stage(
             logprior_fn, loglik_fn, n_move, target_ess_frac, resample_ess_frac
         )
