@@ -3,6 +3,10 @@ TPU chip (the BASELINE.json primary metric).
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
+``--mode ess`` instead measures the BASELINE metric's second half: NUTS
+samples/sec and ESS/sec at the same config (4 chains, full windowed warmup,
+ESS via pynngp_tpu.diagnostics on the phi draws).
+
 vs_baseline: the reference publishes no numbers (BASELINE.md: "published": {})
 and its binary is unavailable, so the denominator is a documented estimate of
 the reference C++/Eigen/OpenMP updateBF throughput at this config: n*m^3/3
@@ -28,9 +32,19 @@ def main():
     p.add_argument("--evals-per-call", type=int, default=20)
     p.add_argument("--calls", type=int, default=5)
     p.add_argument("--quick", action="store_true", help="tiny config smoke run")
+    p.add_argument(
+        "--mode", choices=["loglik", "ess"], default="loglik",
+        help="loglik: fused-kernel evals/sec; ess: NUTS samples/sec + ESS/sec",
+    )
+    p.add_argument("--chains", type=int, default=4)
+    p.add_argument("--samples", type=int, default=200)
+    p.add_argument("--burn", type=int, default=300)
     args = p.parse_args()
     if args.quick:
         args.n, args.calls = 10_000, 2
+        args.samples, args.burn = 50, 50
+    if args.mode == "ess":
+        return bench_ess(args)
 
     import jax
     import jax.numpy as jnp
@@ -120,6 +134,64 @@ def main():
             }
         )
     )
+
+
+def bench_ess(args):
+    """NUTS ESS/sec and samples/sec at the BASELINE config (real chip)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pynngp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import pynngp_tpu as pn
+    from pynngp_tpu.diagnostics import ess, split_rhat
+
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(size=(args.n, 2))
+    freqs = rng.normal(scale=3.0, size=(64, 2))
+    phases = rng.uniform(0, 2 * np.pi, 64)
+    w = np.sqrt(2 / 64) * np.cos(coords @ freqs.T + phases).sum(axis=1)
+    y = w + 0.3 * rng.standard_normal(args.n)
+
+    t0 = time.time()
+    model = pn.ResponseNNGP(coords, y, kernel="sqexp", m=args.m)
+    setup_s = time.time() - t0
+    t0 = time.time()
+    draws = model.sample_nuts(
+        args.samples, n_burn=args.burn, n_chains=args.chains, max_depth=6
+    )
+    dt = time.time() - t0
+    phi = np.asarray(draws["phi"])
+    if phi.ndim == 1:
+        phi = phi[None]
+    ess_phi = min(ess(np.asarray(draws[k]).reshape(phi.shape))
+                  for k in ("phi", "sigma2", "tau2"))
+    total_samples = args.chains * args.samples
+    print(
+        f"# ess-mode n={args.n} m={args.m} chains={args.chains} setup={setup_s:.1f}s "
+        f"run={dt:.1f}s samples/s={total_samples/dt:.2f} min-ESS={ess_phi:.1f} "
+        f"rhat(phi)={split_rhat(phi):.3f} device={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"nuts_min_ess_per_sec_n{args.n}_m{args.m}",
+                "value": round(ess_phi / dt, 3),
+                "unit": "ESS/sec",
+                "vs_baseline": round(
+                    (ess_phi / dt) / REFERENCE_ESS_PER_SEC_ESTIMATE, 2
+                ),
+            }
+        )
+    )
+
+
+# Reference ESS/sec estimate: the reference's Metropolis-within-Gibbs costs
+# one updateBF per theta proposal (~40 evals/sec per the estimate above) and
+# RW-Metropolis autocorrelation typically needs O(30-100) iterations per
+# effective sample on correlated (sigma2, phi, tau2) => ~0.5-1 ESS/sec.
+REFERENCE_ESS_PER_SEC_ESTIMATE = 1.0
 
 
 if __name__ == "__main__":
