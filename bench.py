@@ -29,7 +29,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=100_000)
     p.add_argument("--m", type=int, default=15)
-    p.add_argument("--evals-per-call", type=int, default=20)
+    p.add_argument("--evals-per-call", type=int, default=200)
     p.add_argument("--calls", type=int, default=5)
     p.add_argument("--quick", action="store_true", help="tiny config smoke run")
     p.add_argument(

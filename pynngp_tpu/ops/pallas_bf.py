@@ -202,15 +202,34 @@ def _rho_fn(kernel):
     )
 
 
-def _suffstats_kernel(m, rho, params_ref, d_in_ref, d_tri_ref, mask_ref,
-                      ynbr_ref, yown_ref, f_ref, resid_ref):
+def _site_valid(t_cell, n_f32, dtype):
+    """In-kernel site-validity plane for the current grid cell: global site
+    index < n, computed from iota + program_id (zero HBM traffic).  n rides
+    the SMEM params as float32 (exact for n < 2^24)."""
+    shape = (t_cell, _SUBLANES, _LANES)
+    base = pl.program_id(0) * (t_cell * TILE)
+    tile = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    sub = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    idx = base + tile * TILE + sub * _LANES + lane
+    return (idx < n_f32.astype(jnp.int32)).astype(dtype)
+
+
+def _suffstats_kernel(m, rho, t_cell, params_ref, d_in_ref, d_tri_ref,
+                      mask_ref, ynbr_ref, yown_ref, f_ref, resid_ref,
+                      ld_ref, quad_ref):
     """One t_cell*1024-site cell: correlation build + masked Cholesky + two
     forward solves, fully unrolled over the static m.  Every ref slice below
     is a (t_cell, 8, 128) array, so each vector op carries t_cell tiles —
-    enough independent elements to hide the recurrence's VPU latency."""
+    enough independent elements to hide the recurrence's VPU latency.
+
+    Also emits per-cell partial sums of logdet and the quadratic form with
+    padded sites masked in-kernel, so callers reduce a (cells,) vector
+    instead of re-streaming the f/resid arrays through a second XLA pass."""
     phi = params_ref[0, 0]
     alpha = params_ref[0, 1]
     jitter = params_ref[0, 2]
+    n_f32 = params_ref[0, 3]
 
     masks = [mask_ref[i] for i in range(m)]
     c = [rho(d_in_ref[i], phi) * masks[i] for i in range(m)]
@@ -248,8 +267,14 @@ def _suffstats_kernel(m, rho, params_ref, d_in_ref, d_tri_ref, mask_ref,
     for k in range(m):
         ff = ff - u[k] * u[k]
         bdoty = bdoty + u[k] * v[k]
+    resid = yown_ref[...] - bdoty
     f_ref[...] = ff
-    resid_ref[...] = yown_ref[...] - bdoty
+    resid_ref[...] = resid
+    valid = _site_valid(t_cell, n_f32, ff.dtype)
+    # (8, 128) lane-partials: reduce the t axis here, the tiny cross-cell
+    # sum in XLA (keeps stores tile-aligned and reductions lane-parallel)
+    ld_ref[0] = jnp.sum(valid * jnp.log(ff), axis=0)
+    quad_ref[0] = jnp.sum(valid * resid * resid / ff, axis=0)
 
 
 def _cell_specs(m, p, t):
@@ -262,14 +287,21 @@ def _cell_specs(m, p, t):
     return plane, site
 
 
+def _params_vec(phi, alpha, jitter, n):
+    return jnp.stack([
+        phi, alpha, jnp.asarray(jitter, phi.dtype),
+        jnp.asarray(float(n), phi.dtype),
+    ]).reshape(1, 4)
+
+
 def _run_suffstats(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4,
                    jitter):
     m = cache.m
     s = cache.s_tiles
     rho = _rho_fn(kernel)
-    params = jnp.stack([phi, alpha, jnp.asarray(jitter, phi.dtype)]).reshape(1, 3)
+    params = _params_vec(phi, alpha, jitter, cache.n)
 
-    kern = partial(_suffstats_kernel, m, rho)
+    kern = partial(_suffstats_kernel, m, rho, cache.t_cell)
     with jax.named_scope("pallas_suffstats"):
         return _pallas_suffstats_call(kern, cache, s, m, params, y_own4, y_nbr4)
 
@@ -278,21 +310,25 @@ def _pallas_suffstats_call(kern, cache, s, m, params, y_own4, y_nbr4):
     t = cache.t_cell
     p = cache.d_tri.shape[0]
     plane, site = _cell_specs(m, p, t)
-    f4, resid4 = pl.pallas_call(
+    cells = s // t
+    part = pl.BlockSpec((1, _SUBLANES, _LANES), lambda i: (i, 0, 0))
+    f4, resid4, ld_parts, quad_parts = pl.pallas_call(
         kern,
-        grid=(s // t,),
+        grid=(cells,),
         in_specs=[
-            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
             plane(m),
             plane(p),
             plane(m),
             plane(m),
             site,
         ],
-        out_specs=[site, site],
+        out_specs=[site, site, part, part],
         out_shape=[
             jax.ShapeDtypeStruct((s, _SUBLANES, _LANES), y_own4.dtype),
             jax.ShapeDtypeStruct((s, _SUBLANES, _LANES), y_own4.dtype),
+            jax.ShapeDtypeStruct((cells, _SUBLANES, _LANES), y_own4.dtype),
+            jax.ShapeDtypeStruct((cells, _SUBLANES, _LANES), y_own4.dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=cache.n_pad * (m**3 // 3 + 3 * m * m),
@@ -301,7 +337,7 @@ def _pallas_suffstats_call(kern, cache, s, m, params, y_own4, y_nbr4):
         ),
         interpret=_interpret(),
     )(params, cache.d_in, cache.d_tri, cache.mask, y_nbr4, y_own4)
-    return f4, resid4
+    return f4, resid4, jnp.sum(ld_parts), jnp.sum(quad_parts)
 
 
 def pallas_suffstats(kernel, params, cache: LaneCache, y, alpha, jitter=1e-6,
@@ -327,17 +363,11 @@ def pallas_suffstats(kernel, params, cache: LaneCache, y, alpha, jitter=1e-6,
         n_pad = cache.n_pad
         y_own = jnp.pad(y, (0, n_pad - cache.n))
     y_own4 = y_own.reshape(s, _SUBLANES, _LANES)
-    f4, resid4 = _run_suffstats(kernel, cache, phi, alpha, y_own4, y_nbr4, jitter)
-    # valid-site mask: padded rows contribute log(1+alpha) and 0 resid; zero
-    # them out exactly.
-    n, n_pad = cache.n, cache.n_pad
-    if n_pad > n:
-        valid = jnp.arange(n_pad).reshape(s, _SUBLANES, _LANES) < n
-        logdet = jnp.sum(jnp.where(valid, jnp.log(f4), 0.0))
-        quad = jnp.sum(jnp.where(valid, resid4 * resid4 / f4, 0.0))
-    else:
-        logdet = jnp.sum(jnp.log(f4))
-        quad = jnp.sum(resid4 * resid4 / f4)
+    # logdet/quad arrive as in-kernel-masked per-cell partials: no second
+    # XLA pass over the f/resid arrays.
+    f4, resid4, logdet, quad = _run_suffstats(
+        kernel, cache, phi, alpha, y_own4, y_nbr4, jitter
+    )
     return logdet, quad, f4, resid4
 
 
@@ -393,14 +423,18 @@ def _drho_fn(kernel):
     raise NotImplementedError(kernel)
 
 
-def _grad_kernel(m, rho, drho, params_ref, d_in_ref, d_tri_ref, mask_ref,
-                 ynbr_ref, yown_ref,
+def _grad_kernel(m, rho, drho, t_cell, params_ref, d_in_ref, d_tri_ref,
+                 mask_ref, ynbr_ref, yown_ref,
+                 ld_ref, quad_ref,
                  dld_dphi_ref, dq_dphi_ref, dld_da_ref, dq_da_ref):
-    """Backward pass: recompute the factorization, back-substitute, contract
-    with dC/dphi and dC/dalpha, emit per-site derivative contributions."""
+    """Fused value+gradient pass: one factorization, back-substitution, and
+    dC/dphi, dC/dalpha contractions — emits per-cell partial sums of the
+    value (logdet, quad) AND all four derivative reductions, so a full
+    value_and_grad costs a single read of the distance tables."""
     phi = params_ref[0, 0]
     alpha = params_ref[0, 1]
     jitter = params_ref[0, 2]
+    n_f32 = params_ref[0, 3]
 
     masks = [mask_ref[i] for i in range(m)]
     c = [rho(d_in_ref[i], phi) * masks[i] for i in range(m)]
@@ -468,49 +502,59 @@ def _grad_kernel(m, rho, drho, params_ref, d_in_ref, d_tri_ref, mask_ref,
     df_a = 1.0 + pp_sum
     dr_a = pq_sum
 
-    inv_f = 1.0 / ff
+    valid = _site_valid(t_cell, n_f32, ff.dtype)
+    inv_f = valid / ff
     r_over_f = r * inv_f
-    dld_dphi_ref[...] = df_phi * inv_f
-    dld_da_ref[...] = df_a * inv_f
-    # d(r^2/F) = 2 r dr / F - (r/F)^2 dF
-    dq_dphi_ref[...] = 2.0 * r_over_f * dr_phi - r_over_f * r_over_f * df_phi
-    dq_da_ref[...] = 2.0 * r_over_f * dr_a - r_over_f * r_over_f * df_a
+    # (8, 128) lane-partials (t axis reduced here, cells summed in XLA)
+    ld_ref[0] = jnp.sum(valid * jnp.log(ff), axis=0)
+    quad_ref[0] = jnp.sum(r * r_over_f, axis=0)
+    dld_dphi_ref[0] = jnp.sum(df_phi * inv_f, axis=0)
+    dld_da_ref[0] = jnp.sum(df_a * inv_f, axis=0)
+    # d(r^2/F) = 2 r dr / F - (r/F)^2 dF.  r_over_f carries the valid mask
+    # (valid^2 = valid), so both terms are masked.
+    ratio2 = r_over_f * r_over_f  # = valid * (r/F)^2
+    dq_dphi_ref[0] = jnp.sum(2.0 * r_over_f * dr_phi - ratio2 * df_phi, axis=0)
+    dq_da_ref[0] = jnp.sum(2.0 * r_over_f * dr_a - ratio2 * df_a, axis=0)
 
 
 def _run_grad(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4, jitter):
+    """One fused pass -> six scalars: (logdet, quad, dld_dphi, dq_dphi,
+    dld_da, dq_da)."""
     m = cache.m
     s = cache.s_tiles
     t = cache.t_cell
     p = cache.d_tri.shape[0]
     rho = _rho_fn(kernel)
     drho = _drho_fn(kernel)
-    params = jnp.stack([phi, alpha, jnp.asarray(jitter, phi.dtype)]).reshape(1, 3)
-    kern = partial(_grad_kernel, m, rho, drho)
+    params = _params_vec(phi, alpha, jitter, cache.n)
+    kern = partial(_grad_kernel, m, rho, drho, t)
     plane, site = _cell_specs(m, p, t)
+    cells = s // t
+    part = pl.BlockSpec((1, _SUBLANES, _LANES), lambda i: (i, 0, 0))
     outs = pl.pallas_call(
         kern,
-        grid=(s // t,),
+        grid=(cells,),
         in_specs=[
-            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
             plane(m),
             plane(p),
             plane(m),
             plane(m),
             site,
         ],
-        out_specs=[site, site, site, site],
+        out_specs=[part] * 6,
         out_shape=[
-            jax.ShapeDtypeStruct((s, _SUBLANES, _LANES), y_own4.dtype)
-            for _ in range(4)
+            jax.ShapeDtypeStruct((cells, _SUBLANES, _LANES), y_own4.dtype)
+            for _ in range(6)
         ],
         cost_estimate=pl.CostEstimate(
             flops=cache.n_pad * (m**3 // 2 + 6 * m * m),
-            bytes_accessed=cache.n_pad * 4 * (m * (m - 1) // 2 + 4 * m + 7),
+            bytes_accessed=cache.n_pad * 4 * (m * (m - 1) // 2 + 4 * m),
             transcendentals=cache.n_pad * (m * m + m),
         ),
         interpret=_interpret(),
     )(params, cache.d_in, cache.d_tri, cache.mask, y_nbr4, y_own4)
-    return outs  # dld_dphi, dq_dphi, dld_da, dq_da (per-site)
+    return tuple(jnp.sum(o) for o in outs)
 
 
 def _bf_kernel(m, rho, params_ref, d_in_ref, d_tri_ref, mask_ref, b_ref, f_ref):
@@ -596,8 +640,13 @@ def pallas_bf(kernel, params, cache: LaneCache, alpha, jitter=1e-6):
 
 
 def make_diff_suffstats(kernel, cache: LaneCache, jitter: float = 1e-6):
-    """Build a differentiable (logdet, quad) = f(phi, alpha, y) with the
-    fused forward kernel and the analytic VJP kernel.
+    """Build a differentiable (logdet, quad) = f(phi, alpha, y).
+
+    Forward-only evaluation uses the fused forward kernel; a differentiated
+    evaluation (``jax.value_and_grad``) runs the fused value+gradient kernel
+    ONCE — the analytic derivative reductions come out of the same pass that
+    produces the value, so one gradient step costs one read of the distance
+    tables (not a forward + a backward pass).
 
     NOTE: the y cotangent is NOT propagated (returns zeros) — valid when y
     is data (response model without sampled fixed effects through this
@@ -605,7 +654,6 @@ def make_diff_suffstats(kernel, cache: LaneCache, jitter: float = 1e-6):
     """
     s = cache.s_tiles
     n, n_pad = cache.n, cache.n_pad
-    valid = (jnp.arange(n_pad) < n).reshape(s, _SUBLANES, _LANES)
 
     @jax.custom_vjp
     def suff(phi, alpha, y):
@@ -615,24 +663,19 @@ def make_diff_suffstats(kernel, cache: LaneCache, jitter: float = 1e-6):
         return logdet, quad
 
     def fwd(phi, alpha, y):
-        return suff(phi, alpha, y), (phi, alpha, y)
-
-    def bwd(res, cotangents):
-        phi, alpha, y = res
-        g_ld, g_q = cotangents
         y_nbr4 = jnp.take(y, cache.nn_idx, axis=0)
         y_own4 = jnp.pad(y, (0, n_pad - n)).reshape(s, _SUBLANES, _LANES)
-        dld_dphi, dq_dphi, dld_da, dq_da = _run_grad(
+        logdet, quad, dld_dphi, dq_dphi, dld_da, dq_da = _run_grad(
             kernel, cache, jnp.asarray(phi), jnp.asarray(alpha), y_own4,
             y_nbr4, jitter,
         )
-        zero = jnp.zeros_like(dld_dphi)
-        dphi = g_ld * jnp.sum(jnp.where(valid, dld_dphi, zero)) + g_q * jnp.sum(
-            jnp.where(valid, dq_dphi, zero)
-        )
-        dalpha = g_ld * jnp.sum(jnp.where(valid, dld_da, zero)) + g_q * jnp.sum(
-            jnp.where(valid, dq_da, zero)
-        )
+        return (logdet, quad), (dld_dphi, dq_dphi, dld_da, dq_da, y)
+
+    def bwd(res, cotangents):
+        dld_dphi, dq_dphi, dld_da, dq_da, y = res
+        g_ld, g_q = cotangents
+        dphi = g_ld * dld_dphi + g_q * dq_dphi
+        dalpha = g_ld * dld_da + g_q * dq_da
         return dphi, dalpha, jnp.zeros_like(y)
 
     suff.defvjp(fwd, bwd)
