@@ -1,18 +1,23 @@
-"""Benchmark: NNGP Vecchia log-likelihood evals/sec at n=100k, m=15 on one
-TPU chip (the BASELINE.json primary metric).
+"""Benchmark: the BASELINE.json primary metric — NNGP Vecchia log-lik
+evals/sec AND NUTS ESS/sec at n=100k, m=15 on one TPU chip.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Default (``--mode both``) prints TWO JSON lines:
+  1. {"metric": "vecchia_loglik_evals_per_sec_...", ...}
+  2. {"metric": "nuts_min_ess_per_sec_...", ...}   (last line — the driver
+     parses the final line, so the north-star ESS/sec number is captured).
 
-``--mode ess`` instead measures the BASELINE metric's second half: NUTS
-samples/sec and ESS/sec at the same config (4 chains, full windowed warmup,
-ESS via pynngp_tpu.diagnostics on the phi draws).
+Timing methodology: each throughput is reported as best-of-N batches (sheds
+clock/tunnel jitter) AND the mean over batches is printed alongside on
+stderr; the JSON `value` is the best-of, consistent with the README headline
+(methodology noted there).
 
-vs_baseline: the reference publishes no numbers (BASELINE.md: "published": {})
-and its binary is unavailable, so the denominator is a documented estimate of
-the reference C++/Eigen/OpenMP updateBF throughput at this config: n*m^3/3
-flops per eval (~0.1 GFLOP posted at ~4 GFLOP/s effective for 8-thread
-small-matrix Eigen) => ~40 evals/sec.  Conservative (generous to the
-reference); revisit if real reference numbers ever appear.
+vs_baseline: the reference publishes no numbers (BASELINE.md: "published":
+{}) and its binary is unavailable, so denominators are documented estimates:
+  - loglik: reference C++/Eigen/OpenMP updateBF ~40 evals/sec at this config
+    (n*m^3/3 flops/eval at ~4 GFLOP/s effective 8-thread small-matrix Eigen);
+  - ESS/sec: reference Metropolis-within-Gibbs ~1 ESS/sec (one updateBF per
+    theta proposal at ~40/s; RW autocorrelation O(30-100) iters/ESS).
+Conservative (generous to the reference); revisit if real numbers appear.
 """
 
 import argparse
@@ -23,6 +28,19 @@ import time
 import numpy as np
 
 REFERENCE_EVALS_PER_SEC_ESTIMATE = 40.0
+# Reference ESS/sec estimate: the reference's Metropolis-within-Gibbs costs
+# one updateBF per theta proposal (~40 evals/sec per the estimate above) and
+# RW-Metropolis autocorrelation typically needs O(30-100) iterations per
+# effective sample on correlated (sigma2, phi, tau2) => ~0.5-1 ESS/sec.
+REFERENCE_ESS_PER_SEC_ESTIMATE = 1.0
+
+
+def _configure_jax():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pynngp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
 
 
 def main():
@@ -33,8 +51,9 @@ def main():
     p.add_argument("--calls", type=int, default=5)
     p.add_argument("--quick", action="store_true", help="tiny config smoke run")
     p.add_argument(
-        "--mode", choices=["loglik", "ess"], default="loglik",
-        help="loglik: fused-kernel evals/sec; ess: NUTS samples/sec + ESS/sec",
+        "--mode", choices=["both", "loglik", "ess"], default="both",
+        help="loglik: fused-kernel evals/sec; ess: NUTS samples/sec + "
+        "ESS/sec; both (default): loglik line then ESS line",
     )
     p.add_argument("--chains", type=int, default=4)
     p.add_argument("--samples", type=int, default=200)
@@ -43,15 +62,26 @@ def main():
     if args.quick:
         args.n, args.calls = 10_000, 2
         args.samples, args.burn = 50, 50
-    if args.mode == "ess":
-        return bench_ess(args)
+    if args.mode in ("both", "loglik"):
+        bench_loglik(args)
+    if args.mode in ("both", "ess"):
+        bench_ess(args)
 
-    import jax
+
+def _time_batches(fn, phis, calls):
+    """(best, mean) seconds per batch over `calls` timed executions."""
+    times = []
+    for i in range(calls):
+        t0 = time.time()
+        fn(phis + 0.001 * (i + 1)).block_until_ready()
+        times.append(time.time() - t0)
+    return min(times), float(np.mean(times))
+
+
+def bench_loglik(args):
+    jax = _configure_jax()
     import jax.numpy as jnp
     from jax import lax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pynngp")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import pynngp_tpu as pn
 
@@ -97,28 +127,21 @@ def main():
     many_evals(phis).block_until_ready()
     compile_s = time.time() - t0
     # warm-up fully (first post-compile execution can pay one-time program
-    # load cost on remote-dispatch platforms), then best-of-N batches to
-    # shed clock/tunnel jitter.
+    # load cost on remote-dispatch platforms), then best/mean over N batches.
     many_evals(phis + 0.0005).block_until_ready()
-    best = float("inf")
-    for i in range(args.calls):
-        t0 = time.time()
-        many_evals(phis + 0.001 * (i + 1)).block_until_ready()
-        best = min(best, time.time() - t0)
+    best, mean = _time_batches(many_evals, phis, args.calls)
     evals_per_sec = k_evals / best
+    evals_per_sec_mean = k_evals / mean
 
     many_grad_evals(phis).block_until_ready()
     many_grad_evals(phis + 0.0005).block_until_ready()
-    bestg = float("inf")
-    for i in range(args.calls):
-        t0 = time.time()
-        many_grad_evals(phis + 0.001 * (i + 1)).block_until_ready()
-        bestg = min(bestg, time.time() - t0)
+    bestg, meang = _time_batches(many_grad_evals, phis, args.calls)
     grad_evals_per_sec = k_evals / bestg
 
     print(
         f"# n={args.n} m={args.m} setup={setup_s:.1f}s compile={compile_s:.1f}s "
-        f"loglik={evals_per_sec:.1f}/s value_and_grad={grad_evals_per_sec:.1f}/s "
+        f"loglik={evals_per_sec:.1f}/s (mean {evals_per_sec_mean:.1f}/s) "
+        f"value_and_grad={grad_evals_per_sec:.1f}/s (mean {k_evals/meang:.1f}/s) "
         f"device={jax.devices()[0].platform}",
         file=sys.stderr,
     )
@@ -132,16 +155,14 @@ def main():
                     evals_per_sec / REFERENCE_EVALS_PER_SEC_ESTIMATE, 2
                 ),
             }
-        )
+        ),
+        flush=True,
     )
 
 
 def bench_ess(args):
     """NUTS ESS/sec and samples/sec at the BASELINE config (real chip)."""
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pynngp")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax = _configure_jax()
 
     import pynngp_tpu as pn
     from pynngp_tpu.diagnostics import ess, split_rhat
@@ -183,15 +204,9 @@ def bench_ess(args):
                     (ess_phi / dt) / REFERENCE_ESS_PER_SEC_ESTIMATE, 2
                 ),
             }
-        )
+        ),
+        flush=True,
     )
-
-
-# Reference ESS/sec estimate: the reference's Metropolis-within-Gibbs costs
-# one updateBF per theta proposal (~40 evals/sec per the estimate above) and
-# RW-Metropolis autocorrelation typically needs O(30-100) iterations per
-# effective sample on correlated (sigma2, phi, tau2) => ~0.5-1 ESS/sec.
-REFERENCE_ESS_PER_SEC_ESTIMATE = 1.0
 
 
 if __name__ == "__main__":

@@ -17,6 +17,7 @@ reference.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["Euclidean", "DotProduct", "get_distance"]
 
@@ -40,6 +41,16 @@ class Euclidean:
         """Distances from a single point ``x (..., d)`` to rows of ``b (..., q, d)``."""
         diff = x[..., None, :] - b
         return jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+
+    # numpy (host, f64) variants — one-time precompute of distance tables
+    # must NOT run on device (eager round-trips + TPU matmul precision)
+    def pairwise_np(self, a, b):
+        diff = a[..., :, None, :] - b[..., None, :, :]
+        return np.sqrt(np.maximum((diff * diff).sum(-1), 0.0))
+
+    def one_to_many_np(self, x, b):
+        diff = x[..., None, :] - b
+        return np.sqrt(np.maximum((diff * diff).sum(-1), 0.0))
 
 
 class DotProduct:
@@ -66,8 +77,11 @@ class DotProduct:
     def pairwise(self, a, b):
         a = self._maybe_normalize(a)
         b = self._maybe_normalize(b)
-        # (..., p, d) @ (..., d, q) -> (..., p, q): MXU-friendly contraction.
-        sim = jnp.matmul(a, jnp.swapaxes(b, -1, -2))
+        # (..., p, d) @ (..., d, q) -> (..., p, q): MXU contraction.  HIGHEST
+        # precision is required: the default bf16 TPU matmul loses ~1e-2 in
+        # 1 - sim near sim = 1 (exactly where neighbors live), which feeds
+        # straight into the Cholesky.
+        sim = jnp.matmul(a, jnp.swapaxes(b, -1, -2), precision="highest")
         return jnp.maximum(1.0 - sim, 0.0)
 
     def pairwise_sq(self, a, b):
@@ -79,6 +93,24 @@ class DotProduct:
         b = self._maybe_normalize(b)
         sim = jnp.sum(x[..., None, :] * b, axis=-1)
         return jnp.maximum(1.0 - sim, 0.0)
+
+    def _normalize_np(self, x):
+        if not self.normalize:
+            return x
+        nrm = np.linalg.norm(x, axis=-1, keepdims=True)
+        return x / np.maximum(nrm, self.eps)
+
+    def pairwise_np(self, a, b):
+        a = self._normalize_np(np.asarray(a, np.float64))
+        b = self._normalize_np(np.asarray(b, np.float64))
+        sim = np.einsum("...pd,...qd->...pq", a, b)
+        return np.maximum(1.0 - sim, 0.0)
+
+    def one_to_many_np(self, x, b):
+        x = self._normalize_np(np.asarray(x, np.float64))
+        b = self._normalize_np(np.asarray(b, np.float64))
+        sim = (x[..., None, :] * b).sum(-1)
+        return np.maximum(1.0 - sim, 0.0)
 
 
 _REGISTRY = {

@@ -87,9 +87,12 @@ class LatentNNGP:
         from pynngp_tpu.noise import get_noise
         from pynngp_tpu.utils.jit import DataRef
 
+        from pynngp_tpu.distance import get_distance
+
         assert w_update in ("chromatic", "sequential")
         self.noise = get_noise(noise)
         self.kernel = get_kernel(kernel)
+        self.dist_fn = get_distance(distance)
         self.dtype = dtype
         self.jitter = jitter
         self.w_update = w_update
@@ -135,7 +138,7 @@ class LatentNNGP:
         lane_cache = None
         vd = sd.vecchia
         if backend == "pallas":
-            lane_cache = _pb.make_lane_cache(vd, dtype)
+            lane_cache = _pb.make_lane_cache(vd, dtype, dist_fn=self.dist_fn)
             vd = vd._replace(nn_dist=None, nn_cross_dist=None)
         elif vd.nn_dist is not None:
             vd = vd._replace(
@@ -364,7 +367,8 @@ class LatentNNGP:
             )
         else:
             b, f = vecchia_bf(
-                self.kernel, kp, self.data.vecchia, alpha=0.0, jitter=self.jitter
+                self.kernel, kp, self.data.vecchia, alpha=0.0,
+                jitter=self.jitter, dist_fn=self.dist_fn,
             )
         logdet, quad, _ = vecchia_suffstats(b, f, w, self.data.vecchia)
         return b, f, logdet, quad

@@ -77,10 +77,12 @@ class ResponseNNGP:
         mesh=None,
         noise="homogeneous",
     ):
+        from pynngp_tpu.distance import get_distance
         from pynngp_tpu.noise import get_noise
         from pynngp_tpu.utils.jit import DataRef
 
         self.kernel = get_kernel(kernel)
+        self.dist_fn = get_distance(distance)
         self.dtype = dtype
         self.jitter = jitter
         self.joint_theta = joint_theta
@@ -130,10 +132,21 @@ class ResponseNNGP:
         lane_cache = None
         vd = sd.vecchia
         if backend == "pallas":
-            lane_cache = _pb.make_lane_cache(vd, dtype)
-            # host-side distance caches are folded into the lane cache; drop
-            # them from the traced bundle (they would transfer per call)
-            vd = vd._replace(nn_dist=None, nn_cross_dist=None)
+            lane_cache = _pb.make_lane_cache(vd, dtype, dist_fn=self.dist_fn)
+            if self.p == 0:
+                # host-side distance caches are folded into the lane cache;
+                # drop them from the traced bundle (they would transfer per
+                # call)
+                vd = vd._replace(nn_dist=None, nn_cross_dist=None)
+            elif vd.nn_dist is not None:
+                # with fixed effects, full_loglik differentiates through y
+                # and must use the XLA vecchia_bf path: keep the distance
+                # tables device-resident so every likelihood eval reads the
+                # cache (correct metric, no per-eval recompute)
+                vd = vd._replace(
+                    nn_dist=jnp.asarray(vd.nn_dist),
+                    nn_cross_dist=jnp.asarray(vd.nn_cross_dist),
+                )
         else:
             # XLA path consumes the distance tables on device: move them
             # there once so they ride jit_bound as arguments, not per-call
@@ -312,6 +325,7 @@ class ResponseNNGP:
                 self.data.vecchia,
                 alpha=self._alpha_eff(nat["alpha"]),
                 jitter=self.jitter,
+                dist_fn=self.dist_fn,
             )
         logdet, quad, _ = vecchia_suffstats(b, f, resid_y, self.data.vecchia)
         return b, f, logdet, quad
@@ -489,6 +503,7 @@ class ResponseNNGP:
             b, f = vecchia_bf(
                 self.kernel, kp, self.data.vecchia,
                 alpha=self._alpha_eff(alpha), jitter=self.jitter,
+                dist_fn=self.dist_fn,
             )
             resid_y = (
                 self.data.y if self.p == 0 else self.data.y - self.data.x @ beta

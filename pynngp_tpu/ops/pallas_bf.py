@@ -123,8 +123,12 @@ jax.tree_util.register_pytree_node(
 
 
 def make_lane_cache(data: VecchiaData, dtype=jnp.float32,
-                    t_cell: int | None = None) -> LaneCache:
-    """Host-side relayout of the (hyperparameter-independent) caches."""
+                    t_cell: int | None = None, dist_fn=None) -> LaneCache:
+    """Host-side relayout of the (hyperparameter-independent) caches.
+
+    ``dist_fn`` is only consulted when the VecchiaData carries no
+    precomputed distance tables (the recompute path must use the model's
+    metric — e.g. 'dotproduct' — not default Euclidean)."""
     n, m = data.nn_idx.shape
     if t_cell is None:
         t_cell = _default_t_cell(m)
@@ -142,7 +146,7 @@ def make_lane_cache(data: VecchiaData, dtype=jnp.float32,
         from pynngp_tpu.vecchia import neighbor_distances
 
         din_nm, dnn_nmm = (np.asarray(x) for x in neighbor_distances(
-            data.coords, data.nn_idx
+            data.coords, data.nn_idx, dist_fn
         ))
     else:
         din_nm = np.asarray(data.nn_dist)
@@ -226,9 +230,10 @@ def _suffstats_kernel(m, rho, t_cell, params_ref, d_in_ref, d_tri_ref,
     Also emits per-cell partial sums of logdet and the quadratic form with
     padded sites masked in-kernel, so callers reduce a (cells,) vector
     instead of re-streaming the f/resid arrays through a second XLA pass."""
-    phi = params_ref[0, 0]
-    alpha = params_ref[0, 1]
-    jitter = params_ref[0, 2]
+    cdt = d_in_ref.dtype
+    phi = params_ref[0, 0].astype(cdt)
+    alpha = params_ref[0, 1].astype(cdt)
+    jitter = params_ref[0, 2].astype(cdt)
     n_f32 = params_ref[0, 3]
 
     masks = [mask_ref[i] for i in range(m)]
@@ -288,9 +293,13 @@ def _cell_specs(m, p, t):
 
 
 def _params_vec(phi, alpha, jitter, n):
+    # Always float32: the n slot must stay exact (n < 2^24 needs f32 — a
+    # bf16 lane cache would otherwise silently mis-mask the validity plane).
+    # The kernels cast phi/alpha/jitter down to the compute dtype themselves.
+    f32 = jnp.float32
     return jnp.stack([
-        phi, alpha, jnp.asarray(jitter, phi.dtype),
-        jnp.asarray(float(n), phi.dtype),
+        phi.astype(f32), alpha.astype(f32), jnp.asarray(jitter, f32),
+        jnp.asarray(float(n), f32),
     ]).reshape(1, 4)
 
 
@@ -431,9 +440,10 @@ def _grad_kernel(m, rho, drho, t_cell, params_ref, d_in_ref, d_tri_ref,
     dC/dphi, dC/dalpha contractions — emits per-cell partial sums of the
     value (logdet, quad) AND all four derivative reductions, so a full
     value_and_grad costs a single read of the distance tables."""
-    phi = params_ref[0, 0]
-    alpha = params_ref[0, 1]
-    jitter = params_ref[0, 2]
+    cdt = d_in_ref.dtype
+    phi = params_ref[0, 0].astype(cdt)
+    alpha = params_ref[0, 1].astype(cdt)
+    jitter = params_ref[0, 2].astype(cdt)
     n_f32 = params_ref[0, 3]
 
     masks = [mask_ref[i] for i in range(m)]
@@ -560,9 +570,10 @@ def _run_grad(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4, jitter):
 def _bf_kernel(m, rho, params_ref, d_in_ref, d_tri_ref, mask_ref, b_ref, f_ref):
     """Explicit kriging weights B = C^-1 c (back-substituted) and F — the
     outputs the latent-w Gibbs machinery and the beta update consume."""
-    phi = params_ref[0, 0]
-    alpha = params_ref[0, 1]
-    jitter = params_ref[0, 2]
+    cdt = d_in_ref.dtype
+    phi = params_ref[0, 0].astype(cdt)
+    alpha = params_ref[0, 1].astype(cdt)
+    jitter = params_ref[0, 2].astype(cdt)
     masks = [mask_ref[i] for i in range(m)]
     c = [rho(d_in_ref[i], phi) * masks[i] for i in range(m)]
     low = [[None] * m for _ in range(m)]
@@ -606,7 +617,10 @@ def pallas_bf(kernel, params, cache: LaneCache, alpha, jitter=1e-6):
     rho = _rho_fn(kernel)
     phi = jnp.asarray(params["phi"], cache.d_in.dtype)
     alpha = jnp.asarray(alpha, phi.dtype)
-    pvec = jnp.stack([phi, alpha, jnp.asarray(jitter, phi.dtype)]).reshape(1, 3)
+    pvec = jnp.stack([
+        phi.astype(jnp.float32), alpha.astype(jnp.float32),
+        jnp.asarray(jitter, jnp.float32),
+    ]).reshape(1, 3)
     kern = partial(_bf_kernel, m, rho)
     plane, site = _cell_specs(m, p, t)
     b4, f4 = pl.pallas_call(

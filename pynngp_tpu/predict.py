@@ -55,6 +55,8 @@ def build_prediction_table(
     pts = np.asarray(train_coords_ordered, np.float64)
     new = np.asarray(new_coords, np.float64)
     m = int(min(m, len(pts)))
+    if not isinstance(metric, str):  # accept a DistFunc instance too
+        metric = getattr(metric, "name", metric)
     if _HAVE_SCIPY and metric == "euclidean":
         tree = cKDTree(pts)
         dist, idx = tree.query(new, k=m, workers=-1)
@@ -62,15 +64,14 @@ def build_prediction_table(
             dist, idx = dist[:, None], idx[:, None]
     else:
         dist_fn = get_distance(metric)
-        dmat = np.asarray(dist_fn.pairwise(jnp.asarray(new), jnp.asarray(pts)))
+        dmat = dist_fn.pairwise_np(new, pts)
         idx = np.argpartition(dmat, kth=m - 1, axis=1)[:, :m]
         dist = np.take_along_axis(dmat, idx, axis=1)
         srt = np.argsort(dist, axis=1, kind="stable")
         dist = np.take_along_axis(dist, srt, axis=1)
         idx = np.take_along_axis(idx, srt, axis=1)
     nbr = pts[idx]  # (n0, m, d)
-    diff = nbr[:, :, None, :] - nbr[:, None, :, :]
-    cross = np.sqrt(np.maximum((diff * diff).sum(-1), 0.0))
+    cross = get_distance(metric).pairwise_np(nbr, nbr)
     return PredictionTable(
         nn_idx=jnp.asarray(idx.astype(np.int32)),
         nn_dist=jnp.asarray(dist, dtype),

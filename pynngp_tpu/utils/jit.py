@@ -73,29 +73,36 @@ def _live_refs():
     return out
 
 
-def jit_bound(fn, **jit_kwargs):
-    """``jax.jit(fn)`` with every live :class:`DataRef` threaded as an
-    argument.  Use at driver-level jit sites whose closures may capture
-    model data through DataRefs."""
-    state = {"refs": ()}
+def jit_bound(fn, refs=None, **jit_kwargs):
+    """``jax.jit(fn)`` with :class:`DataRef` contents threaded as arguments.
+    Use at driver-level jit sites whose closures may capture model data
+    through DataRefs.
+
+    ``refs``: optional explicit tuple of DataRefs reachable from ``fn``
+    (e.g. a model's own ref).  When omitted, the live-ref set is snapshotted
+    at the FIRST call and reused for every later call — so constructing
+    another model mid-run cannot change this callable's leading pytree
+    structure (which would force a retrace of in-flight chunked samplers).
+    """
+    state = {"refs": None if refs is None else tuple(refs)}
 
     def wrapped(ref_vals, *args):
-        refs = state["refs"]
-        olds = [r._override for r in refs]
-        for r, v in zip(refs, ref_vals):
+        rs = state["refs"]
+        olds = [r._override for r in rs]
+        for r, v in zip(rs, ref_vals):
             r._override = v
         try:
             return fn(*args)
         finally:
-            for r, o in zip(refs, olds):
+            for r, o in zip(rs, olds):
                 r._override = o
 
     jf = jax.jit(wrapped, **jit_kwargs)
 
     def call(*args):
-        refs = tuple(_live_refs())
-        state["refs"] = refs
-        return jf(tuple(r._value for r in refs), *args)
+        if state["refs"] is None:
+            state["refs"] = tuple(_live_refs())
+        return jf(tuple(r._value for r in state["refs"]), *args)
 
     call._jitted = jf  # for inspection/tests
     return call

@@ -110,21 +110,12 @@ def make_vecchia_data(
     nn_idx = jnp.asarray(table.nn_idx)
     nn_mask = jnp.asarray(table.nn_mask)
     if precompute_distances:
-        # One-time, hyperparameter-independent: compute on host (numpy) and
-        # ship the result — eager device ops here would round-trip per op.
-        if dist_fn.name == "euclidean":
-            nbr = pts_host[table.nn_idx]  # (n, m, d)
-            diff = pts_host[:, None, :] - nbr
-            d_in = np.sqrt(np.maximum((diff * diff).sum(-1), 0.0))
-            diff2 = nbr[:, :, None, :] - nbr[:, None, :, :]
-            d_nn = np.sqrt(np.maximum((diff2 * diff2).sum(-1), 0.0))
-        else:
-            d_in, d_nn = (
-                np.asarray(x)
-                for x in neighbor_distances(
-                    jnp.asarray(pts_host), jnp.asarray(table.nn_idx), dist_fn
-                )
-            )
+        # One-time, hyperparameter-independent: compute on host in numpy f64
+        # and ship the result — eager device ops here would round-trip per op
+        # AND inherit TPU matmul precision (bf16 MXU) on non-Euclidean paths.
+        nbr = pts_host[table.nn_idx]  # (n, m, d)
+        d_in = dist_fn.one_to_many_np(pts_host, nbr)
+        d_nn = dist_fn.pairwise_np(nbr, nbr)
         np_dtype = np.dtype(jnp.dtype(dtype).name)
         data = VecchiaData(
             pts, nn_idx, nn_mask, d_in.astype(np_dtype), d_nn.astype(np_dtype)
