@@ -79,10 +79,17 @@ class SeqNNGP:
         assert self._draws is not None, "call sample() first"
         return summarize(self._draws)
 
-    def predict(self, coords0, key=None, noise_on_target: bool = True,
-                draws: Optional[dict] = None, thin: int = 1):
+    def predict(self, coords0, x0=None, key=None, noise_on_target: bool = True,
+                draws: Optional[dict] = None, thin: int = 1,
+                batch_draws: int = 8):
         """Neighbor-conditioned kriging at new sites for every stored
-        posterior draw (SURVEY.md section 3.3)."""
+        posterior draw — ``predict(coords0[, X0])`` (SURVEY.md section 3.3).
+
+        ``x0`` (n0, p): covariates at the new sites; requires the model to
+        have been fit with covariates (beta draws present).  The predictive
+        mean then includes the fixed-effects term x0 @ beta per draw, and
+        the response model conditions on the per-draw residuals y - X beta.
+        """
         draws = draws if draws is not None else self._draws
         assert draws is not None, "call sample() first"
         flat = {
@@ -101,15 +108,27 @@ class SeqNNGP:
         param_draws = {k: flat[k][sel] for k in ("sigma2", "tau2", "phi") if k in flat}
         if "nu" in flat:
             param_draws["nu"] = flat["nu"][sel]
+        beta_draws = None
+        if x0 is not None:
+            assert "beta" in flat, (
+                "x0 given but the model has no fixed-effect draws; "
+                "construct with x= and re-sample"
+            )
+            beta_draws = flat["beta"][sel]
         if self.model_kind == "latent":
             assert "w" in flat, "latent prediction needs collect_w=True draws"
             # w draws are stored in original order; map back to ordered space
             w_ord = flat["w"][sel][..., tab.order]
             return predict_draws(
                 self.kernel, ptable, None, param_draws, key=key,
+                x0=x0, beta_draws=beta_draws,
                 values_draws=w_ord, noise_on_target=noise_on_target,
+                batch_draws=batch_draws,
             )
+        # response model with covariates conditions on y - X beta per draw
+        x_train = self._model.data.x if beta_draws is not None else None
         return predict_draws(
             self.kernel, ptable, self._model.data.y, param_draws, key=key,
-            noise_on_target=noise_on_target,
+            x0=x0, beta_draws=beta_draws, x_train=x_train,
+            noise_on_target=noise_on_target, batch_draws=batch_draws,
         )

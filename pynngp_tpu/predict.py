@@ -83,17 +83,19 @@ def build_prediction_table(
 def predict_draws(
     kernel,
     table: PredictionTable,
-    values,  # (n,) training-site values per draw-independent, or callable
+    values,  # (n,) training-site values per draw-independent, or None
     draws: dict,
     key=None,
-    x0=None,
-    beta_draws=None,
+    x0=None,  # (n0, p) covariates at the new sites
+    beta_draws=None,  # (S, p) fixed-effect draws
+    x_train=None,  # (n, p) ordered training covariates (response model)
     values_draws=None,  # (S, n) per-draw field values (latent model)
     noise_on_target: bool = True,
     jitter: float = 1e-6,
     batch_draws: int = 8,
 ):
-    """Kriging for every posterior draw.
+    """Kriging for every posterior draw (reference ``SeqNNGP::predict``,
+    SURVEY.md section 3.3 — including the ``X0`` fixed-effects argument).
 
     Args:
       kernel: correlation kernel.
@@ -101,8 +103,16 @@ def predict_draws(
         Ignored when ``values_draws`` is given (latent: per-draw w).
       draws: dict with 1-D arrays 'sigma2', 'tau2', 'phi' (and 'nu') of
         length S (flatten chains first).
+      x0 / beta_draws: when both are given, the predictive mean gains the
+        fixed-effects term ``x0 @ beta^(s)`` per draw.
+      x_train: with ``beta_draws`` on the *response* model, conditioning
+        switches to the per-draw residuals ``values - x_train @ beta^(s)``
+        (y - X beta is the NNGP-distributed quantity).  The latent model
+        conditions on w draws directly and must not pass ``x_train``.
       noise_on_target: add tau2 to the predictive variance (predict y0
         rather than the latent surface).
+      batch_draws: draws are processed in vmapped blocks of this size
+        (``lax.map`` batching) instead of a purely sequential scan.
 
     Returns dict with 'mean' (S, n0), 'var' (S, n0), and 'samples' (S, n0)
     when ``key`` is given.
@@ -119,11 +129,22 @@ def predict_draws(
     vals_static = None if values_draws is not None else jnp.asarray(values)
     latent = values_draws is not None
     use_keys = key is not None
+    fixed_effects = x0 is not None and beta_draws is not None
+    if fixed_effects:
+        x0 = jnp.asarray(x0, dtype)
+        beta_draws = jnp.asarray(beta_draws, dtype)
+    if x_train is not None:
+        assert not latent, "latent model conditions on w; do not pass x_train"
+        assert beta_draws is not None, "x_train requires beta_draws"
+        x_train = jnp.asarray(x_train, dtype)
+        beta_draws = jnp.asarray(beta_draws, dtype)
 
-    def scan_fn(carry, inp):
-        s2, t2, ph, nu_s, vals, k = inp
+    def one_draw(inp):
+        s2, t2, ph, nu_s, vals, beta_s, k = inp
         if not latent:
-            vals = vals_static  # shared across draws; closed over, not scanned
+            vals = vals_static  # shared across draws; closed over, not mapped
+            if x_train is not None:
+                vals = vals - x_train @ beta_s  # response: y - X beta ~ NNGP
         params = {"phi": ph}
         if nu is not None:
             params["nu"] = nu_s
@@ -141,6 +162,8 @@ def predict_draws(
         )[..., 0]
         v_n = jnp.take(vals, table.nn_idx, axis=0)  # (n0, m)
         mean = jnp.sum(sol * v_n, axis=-1)
+        if fixed_effects:
+            mean = mean + x0 @ beta_s  # SURVEY.md sec 3.3 predict(coords0, X0)
         cond = 1.0 - jnp.sum(sol * c_0n, axis=-1)
         var = s2 * jnp.maximum(cond, jitter)
         if noise_on_target:
@@ -148,7 +171,7 @@ def predict_draws(
         samp = mean
         if use_keys:
             samp = mean + jnp.sqrt(var) * jax.random.normal(k, mean.shape, dtype)
-        return carry, (mean, var, samp)
+        return mean, var, samp
 
     keys = (
         jax.random.split(key, s_total)
@@ -161,12 +184,23 @@ def predict_draws(
         if latent
         else jnp.zeros((s_total, 1), dtype)  # placeholder; vals_static used
     )
-    xs = (sigma2, tau2, phi, nu_in, vals_in, keys)
+    beta_in = (
+        beta_draws
+        if (fixed_effects or x_train is not None)
+        else jnp.zeros((s_total, 1), dtype)  # placeholder
+    )
+    xs = (sigma2, tau2, phi, nu_in, vals_in, beta_in, keys)
     from pynngp_tpu.utils.jit import jit_bound
 
-    _, (means, variances, samples) = jit_bound(
-        lambda xs: lax.scan(scan_fn, 0, xs)
-    )(xs)
+    bs = max(1, min(int(batch_draws), s_total))
+
+    def run(xs):
+        try:
+            return lax.map(one_draw, xs, batch_size=bs)
+        except TypeError:  # older jax without batch_size: plain scan
+            return lax.map(one_draw, xs)
+
+    means, variances, samples = jit_bound(run)(xs)
     out = {"mean": means, "var": variances}
     if key is not None:
         out["samples"] = samples

@@ -29,9 +29,13 @@ __all__ = [
 
 
 def sample_inverse_gamma(key, a, b):
-    """Draw from IG(shape=a, scale=b): if X ~ Gamma(a, rate=b) then 1/X ~ IG."""
-    g = jax.random.gamma(key, a)
-    return b / g
+    """Draw from IG(shape=a, scale=b): if X ~ Gamma(a, rate=b) then 1/X ~ IG.
+
+    The draw dtype follows ``a`` (jax.random.gamma would otherwise default
+    to float64 under x64 and silently promote the whole sampler state)."""
+    a = jnp.asarray(a)
+    g = jax.random.gamma(key, a, dtype=a.dtype)
+    return jnp.asarray(b, a.dtype) / g
 
 
 def _mh_accept(key, log_ratio):
