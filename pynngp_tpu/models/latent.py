@@ -83,6 +83,7 @@ class LatentNNGP:
         precompute_distances: bool = True,
         backend: str = "auto",
         noise="homogeneous",
+        mesh=None,
     ):
         from pynngp_tpu.noise import get_noise
         from pynngp_tpu.utils.jit import DataRef
@@ -90,6 +91,12 @@ class LatentNNGP:
         from pynngp_tpu.distance import get_distance
 
         assert w_update in ("chromatic", "sequential")
+        if mesh is not None and w_update == "sequential":
+            raise ValueError(
+                "mesh sharding requires w_update='chromatic' (the sequential "
+                "scan is the single-device semantics oracle)"
+            )
+        self.mesh = mesh
         self.noise = get_noise(noise)
         self.kernel = get_kernel(kernel)
         self.dist_fn = get_distance(distance)
@@ -122,6 +129,8 @@ class LatentNNGP:
 
         from pynngp_tpu.ops import pallas_bf as _pb
 
+        if mesh is not None and backend in ("auto", "pallas"):
+            backend = "xla"  # the sharded B/F build is the XLA block math
         if backend == "auto":
             # fused kernels pay off on real TPU; off-TPU they would run in
             # interpreter mode (slow) so auto picks XLA there
@@ -146,6 +155,32 @@ class LatentNNGP:
                 nn_cross_dist=jnp.asarray(vd.nn_cross_dist),
             )
 
+        # --- multi-device: site-sharded B/F + sharded chromatic Gibbs over
+        # a (chains, sites) mesh (SURVEY.md sec 2.1 TP row, sec 5.8) ---
+        sharded = None
+        if mesh is not None:
+            from pynngp_tpu.parallel import (
+                make_sharded_bf,
+                make_sharded_chromatic,
+                shard_color_tables,
+                shard_vecchia_data,
+            )
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh_data, _, _, _ = shard_vecchia_data(sd.vecchia, mesh)
+            csites, csmask = shard_color_tables(colors, mesh.shape["sites"])
+            col_sh = NamedSharding(mesh, P("sites", None, None))
+            sharded = {
+                "data": sh_data,
+                "csites": jax.device_put(jnp.asarray(csites), col_sh),
+                "csmask": jax.device_put(jnp.asarray(csmask), col_sh),
+            }
+            self._sh_bf = make_sharded_bf(self.kernel, mesh, self.n, jitter)
+            self._sh_chrom = make_sharded_chromatic(mesh, self.n_colors)
+            # all likelihood paths go through the sharded tables; drop the
+            # replicated distance caches (the (n, m, m) table dominates)
+            vd = vd._replace(nn_dist=None, nn_cross_dist=None)
+
         # all big per-site tables ride jit boundaries as arguments through
         # this ref (utils/jit.py) rather than baked program constants
         self._big = DataRef({
@@ -156,6 +191,7 @@ class LatentNNGP:
             "child_mask": jnp.asarray(ch.child_mask),
             "color_sites": jnp.asarray(sites),  # (n_colors, max_sz)
             "color_smask": jnp.asarray(smask),
+            "sharded": sharded,
         })
 
         coords = np.asarray(coords)
@@ -215,6 +251,10 @@ class LatentNNGP:
     @property
     def color_smask(self):
         return self._big()["color_smask"]
+
+    @property
+    def _sharded(self):
+        return self._big()["sharded"]
 
     # ---- parameter plumbing -------------------------------------------
     def _natural(self, theta_u):

@@ -11,17 +11,23 @@ from pynngp_tpu.parallel.distributed import (
 )
 from pynngp_tpu.parallel.sharded import (
     make_mesh,
+    make_sharded_bf,
+    make_sharded_chromatic,
     make_sharded_loglik,
     make_sharded_suffstats,
     pad_data_for_sharding,
+    shard_color_tables,
     shard_vecchia_data,
 )
 
 __all__ = [
     "make_mesh",
+    "make_sharded_bf",
+    "make_sharded_chromatic",
     "make_sharded_loglik",
     "make_sharded_suffstats",
     "pad_data_for_sharding",
+    "shard_color_tables",
     "shard_vecchia_data",
     "initialize_distributed",
     "global_mesh",

@@ -46,6 +46,9 @@ __all__ = [
     "shard_vecchia_data",
     "make_sharded_suffstats",
     "make_sharded_loglik",
+    "make_sharded_bf",
+    "shard_color_tables",
+    "make_sharded_chromatic",
 ]
 
 
@@ -127,11 +130,9 @@ def shard_vecchia_data(data: VecchiaData, mesh: Mesh, y=None):
     return out, y_own, y_full, valid
 
 
-def _block_suffstats(kernel, params, alpha, jitter, nn_idx, nn_mask, d_in, d_nn,
-                     y_own, y_full, valid):
-    """Per-site-block Vecchia build — the same batched math as
-    vecchia.vecchia_bf/vecchia_suffstats on a local block, with neighbor
-    values gathered from the replicated y_full."""
+def _block_bf(kernel, params, alpha, jitter, nn_mask, d_in, d_nn):
+    """Per-site-block Vecchia B/F — the same batched math as
+    vecchia.vecchia_bf on a local block of sites."""
     dtype = d_in.dtype
     m = nn_mask.shape[1]
     eye = jnp.eye(m, dtype=dtype)
@@ -146,9 +147,18 @@ def _block_suffstats(kernel, params, alpha, jitter, nn_idx, nn_mask, d_in, d_nn,
         chol, tmp, left_side=True, lower=True, transpose_a=True
     )[..., 0]
     f = (1.0 + alpha) - jnp.sum(b * c_vec, axis=-1)
+    return b, f, mask_f
+
+
+def _block_suffstats(kernel, params, alpha, jitter, nn_idx, nn_mask, d_in, d_nn,
+                     y_own, y_full, valid):
+    """Per-site-block Vecchia build — the same batched math as
+    vecchia.vecchia_bf/vecchia_suffstats on a local block, with neighbor
+    values gathered from the replicated y_full."""
+    b, f, mask_f = _block_bf(kernel, params, alpha, jitter, nn_mask, d_in, d_nn)
     y_nbr = jnp.take(y_full, nn_idx, axis=0) * mask_f
     resid = y_own - jnp.sum(b * y_nbr, axis=-1)
-    vf = valid.astype(dtype)
+    vf = valid.astype(d_in.dtype)
     logdet = jnp.sum(jnp.log(f) * vf)
     quad = jnp.sum(resid * resid / f * vf)
     return logdet, quad
@@ -221,3 +231,130 @@ def make_sharded_loglik(kernel, mesh: Mesh, n: int, jitter: float = 1e-6):
         )
 
     return fn
+
+
+def make_sharded_bf(kernel, mesh: Mesh, n: int, jitter: float = 1e-6):
+    """Site-sharded Vecchia B/F build: the hot O(n m^3) loop runs on local
+    site blocks; the (n, m) weight matrix and (n,) conditional variances come
+    back site-sharded (padded rows sliced off).
+
+    Consumers that gather B at arbitrary global sites (the latent chromatic
+    Gibbs, the fixed-effects update) let GSPMD insert the all-gather — one
+    (n m)-float collective per theta update, vs the O(n m^3) build that is
+    actually sharded."""
+
+    def impl(params, alpha, nn_mask, d_in, d_nn):
+        b, f, _ = _block_bf(kernel, params, alpha, jitter, nn_mask, d_in, d_nn)
+        return b, f
+
+    sharded = shard_map(
+        impl,
+        mesh=mesh,
+        axis_names=frozenset({"sites"}),
+        in_specs=(
+            P(),  # params pytree (replicated scalars)
+            P(),  # alpha
+            P("sites", None),
+            P("sites", None),
+            P("sites", None, None),
+        ),
+        out_specs=(P("sites", None), P("sites")),
+    )
+
+    def fn(params, alpha, data: VecchiaData):
+        b, f = sharded(
+            params, alpha, data.nn_mask, data.nn_dist, data.nn_cross_dist
+        )
+        return b[:n], f[:n]
+
+    return fn
+
+
+def shard_color_tables(colors: np.ndarray, n_shards: int):
+    """Partition each color class round-robin across shards (host-side, once).
+
+    Returns (sites, mask): (n_shards, n_colors, msz) int32 global site ids +
+    bool validity, padded so every shard sweeps the same static shape.  Any
+    balanced partition is correct — same-color sites are conditionally
+    independent by the moral coloring, so which shard updates which site is
+    pure load balancing."""
+    n_colors = int(colors.max()) + 1
+    groups = [np.nonzero(colors == c)[0] for c in range(n_colors)]
+    msz = max(
+        max((len(g) + n_shards - 1) // n_shards for g in groups), 1
+    )
+    sites = np.zeros((n_shards, n_colors, msz), np.int32)
+    mask = np.zeros((n_shards, n_colors, msz), bool)
+    for c, g in enumerate(groups):
+        for s in range(n_shards):
+            part = g[s::n_shards]
+            sites[s, c, : len(part)] = part
+            mask[s, c, : len(part)] = True
+    return sites, mask
+
+
+def make_sharded_chromatic(mesh: Mesh, n_colors: int):
+    """Site-sharded exact chromatic Gibbs sweep for the latent-w model.
+
+    Each device updates its partition of every color class (tables from
+    :func:`shard_color_tables`); per color, the collision-free (w, resid)
+    scatter deltas are psum'd over the 'sites' axis so every device holds the
+    identical post-color state.  Given the same per-site normal draws ``eps``
+    this reproduces the single-device chromatic sweep exactly (modulo
+    reduction order): the per-site conditional moments are computed from the
+    same pre-color (w, resid) regardless of which shard owns the site.
+
+    State arrays (w, resid, B, per-site precomputes) ride in replicated —
+    dependence is m-sparse but *global* (children cross any block boundary),
+    and at a few MB per n=500k vector replication beats halo machinery
+    (SURVEY.md section 5.7).  The O(n m^3) build is sharded separately in
+    :func:`make_sharded_bf`.
+
+    Returns fn(csites, csmask, w, resid, eps, b, nn_idx, nn_mask, child_idx,
+    b_child, fp_child, v, sd, ytil, fprec) -> new replicated w.
+    """
+
+    def impl(csites, csmask, w, resid, eps, b, nn_idx, nn_mask, child_idx,
+             b_child, fp_child, v, sd, ytil, fprec):
+        n = w.shape[0]
+
+        def color_pass(carry, c):
+            w, resid = carry
+            sites = csites[0, c]  # (msz,) this shard's color-c sites
+            smask = csmask[0, c].astype(w.dtype)
+            nn_s = nn_idx[sites]
+            nm_s = nn_mask[sites].astype(w.dtype)
+            mu_own = jnp.sum(b[sites] * jnp.take(w, nn_s) * nm_s, axis=-1)
+            ci_s = child_idx[sites]
+            bc_s = b_child[sites]
+            fp_s = fp_child[sites]
+            w_s = w[sites]
+            resid_excl = jnp.take(resid, ci_s) + bc_s * w_s[:, None]
+            rhs = ytil[sites] + mu_own * fprec[sites] + jnp.sum(
+                bc_s * fp_s * resid_excl, axis=-1
+            )
+            w_new = v[sites] * rhs + sd[sites] * eps[sites]
+            delta = (w_new - w_s) * smask  # pad slots contribute 0
+            # one stacked (2, n) psum per color: dw and dresid deltas
+            dz = jnp.zeros((2, n), w.dtype)
+            dz = dz.at[0, sites].add(delta)
+            dz = dz.at[1, sites].add(delta)
+            # each child j of a color-c site has exactly one parent in c;
+            # masked child slots carry b_child = 0
+            dz = dz.at[1, ci_s].add(-bc_s * delta[:, None])
+            dz = lax.psum(dz, "sites")
+            return (w + dz[0], resid + dz[1]), None
+
+        (w, _), _ = lax.scan(color_pass, (w, resid), jnp.arange(n_colors))
+        return w
+
+    return shard_map(
+        impl,
+        mesh=mesh,
+        axis_names=frozenset({"sites"}),
+        in_specs=(
+            P("sites", None, None),  # csites
+            P("sites", None, None),  # csmask
+        ) + (P(),) * 13,
+        out_specs=P(),
+    )
