@@ -177,9 +177,12 @@ class ResponseNNGP:
             self._sh_loglik = make_sharded_loglik(
                 self.kernel, mesh, self.n, jitter
             )
-            from pynngp_tpu.parallel import make_sharded_suffstats
+            from pynngp_tpu.parallel import make_sharded_bf, make_sharded_suffstats
 
             self._sh_suff = make_sharded_suffstats(self.kernel, mesh, jitter)
+            # fixed-effects models need real B/F on the mesh (the conjugate
+            # beta update whitens X through B); sharded O(n m^3) build
+            self._sh_bf = make_sharded_bf(self.kernel, mesh, self.n, jitter)
 
         # every big array rides jit boundaries through this ref (see
         # utils/jit.py: closure-baked tables blow the remote-compile request
@@ -289,16 +292,34 @@ class ResponseNNGP:
         heterogeneous noise model."""
         return alpha * self._noise_w if self._hetero else alpha
 
+    def _sh_resid(self, resid):
+        """(padded site-sharded copy, replicated copy) of a residual vector —
+        the (y_own, y_full) pair the sharded suffstats expects, computed
+        in-graph so it tracks a traced beta."""
+        n_padded = self._sharded["y_own"].shape[0]
+        n_pad = n_padded - self.n
+        resid_own = jnp.pad(resid, (0, n_pad)) if n_pad else resid
+        return resid_own, resid
+
     # ---- likelihood pieces --------------------------------------------
     def _suffstats(self, theta_u, beta):
         nat = self._natural(theta_u)
         resid_y = self.data.y if self.p == 0 else self.data.y - self.data.x @ beta
-        if self.mesh is not None and self.p == 0:
+        if self.mesh is not None:
             sh = self._sharded
+            if self.p == 0:
+                r_own, r_full = sh["y_own"], sh["y_full"]
+            else:
+                r_own, r_full = self._sh_resid(resid_y)
             logdet, quad = self._sh_suff(
                 self._kparams(nat), nat["alpha"], sh["data"],
-                sh["y_own"], sh["y_full"], sh["valid"],
+                r_own, r_full, sh["valid"],
             )
+            if self.p:
+                # the beta conjugate update needs the kriging weights; the
+                # O(n m^3) build runs site-sharded, B/F come back sharded
+                b, f = self._sh_bf(self._kparams(nat), nat["alpha"], sh["data"])
+                return b, f, logdet, quad
             dummy_b = jnp.zeros((1, 1), self.dtype)
             dummy_f = jnp.ones((1,), self.dtype)
             return dummy_b, dummy_f, logdet, quad
@@ -491,11 +512,14 @@ class ResponseNNGP:
         kp = {"phi": phi}
         if self._sample_nu:
             kp["nu"] = nat["nu"]
-        if self.mesh is not None and self.p == 0:
+        if self.mesh is not None:
             sh = self._sharded
+            if self.p == 0:
+                r_own, r_full = sh["y_own"], sh["y_full"]
+            else:
+                r_own, r_full = self._sh_resid(self.data.y - self.data.x @ beta)
             return self._sh_loglik(
-                kp, sigma2, alpha, sh["data"], sh["y_own"],
-                sh["y_full"], sh["valid"],
+                kp, sigma2, alpha, sh["data"], r_own, r_full, sh["valid"],
             )
         if self.backend == "pallas" and self.p == 0:
             logdet, quad = self._diff_suff(phi, alpha, self.data.y)

@@ -77,3 +77,53 @@ def test_mesh_smc_sharded_particles(field):
     tau2_mean = float((wts * draws["tau2"]).sum())
     assert 0.02 < tau2_mean < 0.4  # truth 0.1
     assert np.isfinite(draws["log_z"])
+
+
+def test_mesh_fixed_effects_matches_single(field):
+    """mesh + covariates (p>0): full_loglik, its gradient, and the MWG
+    suffstats path match single-device to fp64 tolerance (VERDICT round 1
+    item 3: the mesh must not be ignored when fixed effects are present)."""
+    coords, w, y = field
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((coords.shape[0], 2))
+    beta_true = np.array([1.5, -0.7])
+    y_fx = y + x @ beta_true
+    mesh = make_mesh(2, 4)
+    m_single = ResponseNNGP(coords, y_fx, x=x, kernel="exponential", m=8,
+                            dtype=jnp.float64)
+    m_mesh = ResponseNNGP(coords, y_fx, x=x, kernel="exponential", m=8,
+                          dtype=jnp.float64, mesh=mesh)
+    u = m_single._full_init_u(jax.random.PRNGKey(0),
+                              {"phi": 0.3, "sigma2": 1.0, "tau2": 0.1})
+    np.testing.assert_allclose(
+        float(m_mesh.full_loglik(u)), float(m_single.full_loglik(u)),
+        rtol=1e-12,
+    )
+    g1 = jax.grad(m_mesh.full_logpost)(u)
+    g2 = jax.grad(m_single.full_logpost)(u)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-9)
+    # MWG suffstats path: B/F from the sharded build == single-device build
+    theta_u = m_single._unconstrained(0.3, 0.1)
+    beta = jnp.asarray(beta_true)
+    b1, f1, ld1, q1 = m_single._suffstats(theta_u, beta)
+    b2, f2, ld2, q2 = m_mesh._suffstats(theta_u, beta)
+    np.testing.assert_allclose(float(ld2), float(ld1), rtol=1e-12)
+    np.testing.assert_allclose(float(q2), float(q1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), rtol=1e-11)
+
+
+def test_mesh_fixed_effects_mwg_recovers_beta(field):
+    """End-to-end: the conjugate beta update runs on the mesh and recovers
+    the true fixed effects."""
+    coords, w, y = field
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((coords.shape[0], 2))
+    beta_true = np.array([1.5, -0.7])
+    y_fx = y + x @ beta_true
+    mesh = make_mesh(1, 8)
+    model = ResponseNNGP(coords, y_fx, x=x, kernel="exponential", m=8,
+                         dtype=jnp.float64, mesh=mesh)
+    draws = model.sample(n_samples=250, n_burn=250, seed=11)
+    beta_hat = np.asarray(draws["beta"]).mean(axis=0)
+    np.testing.assert_allclose(beta_hat, beta_true, atol=0.25)
