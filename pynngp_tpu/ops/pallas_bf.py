@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.scipy.special import gammaln
 
 from pynngp_tpu.kernels import Exponential, Matern, Spherical, SqExp
 from pynngp_tpu.vecchia import LOG_2PI, VecchiaData
@@ -173,37 +174,74 @@ def make_lane_cache(data: VecchiaData, dtype=jnp.float32,
     )
 
 
-def _rho_fn(kernel):
-    """Static kernel dispatch -> rho(d, phi) elementwise (phi traced scalar).
+def _needs_nu(kernel) -> bool:
+    """True when nu is a sampled parameter (rides the SMEM params vector and
+    the gradient kernel emits d/dnu reductions)."""
+    return isinstance(kernel, Matern) and kernel.static_nu is None
 
-    General (sampled) Matern-nu is not supported in-kernel (Bessel series);
-    that configuration falls back to the XLA path."""
+
+def _matern_rho_general(d, phi, nu):
+    """General-nu Matern correlation with the Bessel K evaluated IN-KERNEL:
+    bessel.py's branchless fixed-iteration Temme-series / Steed-CF code is
+    pure elementwise jnp + lax.fori_loop, which Mosaic lowers directly — no
+    XLA fallback needed (SURVEY.md section 3.4 rebuild note)."""
+    from pynngp_tpu.bessel import _kve_raw
+
+    t = jnp.sqrt(2.0 * nu) * d / phi
+    ts = jnp.maximum(t, 1e-8)
+    log_rho = (
+        (1.0 - nu) * jnp.log(jnp.asarray(2.0, d.dtype))
+        - gammaln(nu)
+        + nu * jnp.log(ts)
+        + jnp.log(_kve_raw(ts, nu))
+        - ts
+    )
+    return jnp.where(t < 1e-8, jnp.ones_like(t), jnp.exp(log_rho))
+
+
+def _rho_fn(kernel):
+    """Static kernel dispatch -> rho(d, phi, nu) elementwise (phi, nu traced
+    scalars; nu is ignored by every kernel except general Matern)."""
     if isinstance(kernel, SqExp):
-        return lambda d, phi: jnp.exp(-((d / phi) ** 2))
+        return lambda d, phi, nu: jnp.exp(-((d / phi) ** 2))
     if isinstance(kernel, Exponential):
-        return lambda d, phi: jnp.exp(-d / phi)
+        return lambda d, phi, nu: jnp.exp(-d / phi)
     if isinstance(kernel, Spherical):
-        def rho(d, phi):
+        def rho(d, phi, nu):
             t = jnp.minimum(d / phi, 1.0)
             return 1.0 - 1.5 * t + 0.5 * t * t * t
 
         return rho
     if isinstance(kernel, Matern) and kernel.static_nu in (0.5, 1.5, 2.5):
-        nu = kernel.static_nu
+        snu = kernel.static_nu
 
-        def rho(d, phi):
-            t = math.sqrt(2.0 * nu) * d / phi
+        def rho(d, phi, nu):
+            t = math.sqrt(2.0 * snu) * d / phi
             e = jnp.exp(-t)
-            if nu == 0.5:
+            if snu == 0.5:
                 return e
-            if nu == 1.5:
+            if snu == 1.5:
                 return (1.0 + t) * e
             return (1.0 + t + t * t / 3.0) * e
 
         return rho
+    if isinstance(kernel, Matern):
+        # general nu: static non-half-integer nu rides the params vector as
+        # a constant; sampled nu as a traced scalar
+        return _matern_rho_general
     raise NotImplementedError(
         f"Pallas path does not support kernel {kernel!r}; use the XLA path"
     )
+
+
+def _kernel_nu(kernel, params=None):
+    """The value for the nu SMEM slot: sampled (traced) or static constant;
+    0.0 for kernels that ignore it."""
+    if isinstance(kernel, Matern):
+        if kernel.static_nu is None:
+            return params["nu"]
+        return kernel.static_nu
+    return 0.0
 
 
 def _site_valid(t_cell, n_f32, dtype):
@@ -235,9 +273,10 @@ def _suffstats_kernel(m, rho, t_cell, params_ref, d_in_ref, d_tri_ref,
     alpha = params_ref[0, 1].astype(cdt)
     jitter = params_ref[0, 2].astype(cdt)
     n_f32 = params_ref[0, 3]
+    nu = params_ref[0, 4].astype(cdt)
 
     masks = [mask_ref[i] for i in range(m)]
-    c = [rho(d_in_ref[i], phi) * masks[i] for i in range(m)]
+    c = [rho(d_in_ref[i], phi, nu) * masks[i] for i in range(m)]
     yn = [ynbr_ref[i] * masks[i] for i in range(m)]
 
     low = [[None] * m for _ in range(m)]  # L, lane-vectors per scalar slot
@@ -262,7 +301,7 @@ def _suffstats_kernel(m, rho, t_cell, params_ref, d_in_ref, d_tri_ref,
         v[k] = av * inv_diag[k]
         for i in range(k + 1, m):
             mij = masks[i] * masks[k]
-            acc = rho(d_tri_ref[_tri(i, k)], phi) * mij
+            acc = rho(d_tri_ref[_tri(i, k)], phi, nu) * mij
             for j in range(k):
                 acc = acc - low[i][j] * low[k][j]
             low[i][k] = acc * inv_diag[k]
@@ -292,23 +331,23 @@ def _cell_specs(m, p, t):
     return plane, site
 
 
-def _params_vec(phi, alpha, jitter, n):
+def _params_vec(phi, alpha, jitter, n, nu=0.0):
     # Always float32: the n slot must stay exact (n < 2^24 needs f32 — a
     # bf16 lane cache would otherwise silently mis-mask the validity plane).
-    # The kernels cast phi/alpha/jitter down to the compute dtype themselves.
+    # The kernels cast phi/alpha/jitter/nu down to the compute dtype themselves.
     f32 = jnp.float32
     return jnp.stack([
         phi.astype(f32), alpha.astype(f32), jnp.asarray(jitter, f32),
-        jnp.asarray(float(n), f32),
-    ]).reshape(1, 4)
+        jnp.asarray(float(n), f32), jnp.asarray(nu, f32),
+    ]).reshape(1, 5)
 
 
 def _run_suffstats(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4,
-                   jitter):
+                   jitter, nu=0.0):
     m = cache.m
     s = cache.s_tiles
     rho = _rho_fn(kernel)
-    params = _params_vec(phi, alpha, jitter, cache.n)
+    params = _params_vec(phi, alpha, jitter, cache.n, nu)
 
     kern = partial(_suffstats_kernel, m, rho, cache.t_cell)
     with jax.named_scope("pallas_suffstats"):
@@ -325,7 +364,7 @@ def _pallas_suffstats_call(kern, cache, s, m, params, y_own4, y_nbr4):
         kern,
         grid=(cells,),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
             plane(m),
             plane(p),
             plane(m),
@@ -366,6 +405,7 @@ def pallas_suffstats(kernel, params, cache: LaneCache, y, alpha, jitter=1e-6,
     s = cache.s_tiles
     phi = jnp.asarray(params["phi"], cache.d_in.dtype)
     alpha = jnp.asarray(alpha, phi.dtype)
+    nu = _kernel_nu(kernel, params)
     y = jnp.asarray(y)
     y_nbr4 = jnp.take(y, cache.nn_idx, axis=0)  # (m, S, 8, 128) gather
     if y_own is None:
@@ -375,7 +415,7 @@ def pallas_suffstats(kernel, params, cache: LaneCache, y, alpha, jitter=1e-6,
     # logdet/quad arrive as in-kernel-masked per-cell partials: no second
     # XLA pass over the f/resid arrays.
     f4, resid4, logdet, quad = _run_suffstats(
-        kernel, cache, phi, alpha, y_own4, y_nbr4, jitter
+        kernel, cache, phi, alpha, y_own4, y_nbr4, jitter, nu
     )
     return logdet, quad, f4, resid4
 
@@ -404,51 +444,90 @@ def pallas_loglik(kernel, params, cache: LaneCache, y, sigma2, alpha,
 
 
 def _drho_fn(kernel):
-    """d rho(d, phi) / d phi, elementwise (static kernel dispatch)."""
+    """d rho(d, phi, nu) / d phi, elementwise (static kernel dispatch)."""
     if isinstance(kernel, SqExp):
-        return lambda d, phi: jnp.exp(-((d / phi) ** 2)) * 2.0 * d * d / (phi**3)
+        return lambda d, phi, nu: jnp.exp(-((d / phi) ** 2)) * 2.0 * d * d / (phi**3)
     if isinstance(kernel, Exponential):
-        return lambda d, phi: jnp.exp(-d / phi) * d / (phi * phi)
+        return lambda d, phi, nu: jnp.exp(-d / phi) * d / (phi * phi)
     if isinstance(kernel, Spherical):
-        def drho(d, phi):
+        def drho(d, phi, nu):
             t = d / phi
             inside = (t < 1.0).astype(d.dtype)
             return inside * 1.5 * t * (1.0 - t * t) / phi
 
         return drho
     if isinstance(kernel, Matern) and kernel.static_nu in (0.5, 1.5, 2.5):
-        nu = kernel.static_nu
+        snu = kernel.static_nu
 
-        def drho(d, phi):
-            t = math.sqrt(2.0 * nu) * d / phi
+        def drho(d, phi, nu):
+            t = math.sqrt(2.0 * snu) * d / phi
             e = jnp.exp(-t)
-            if nu == 0.5:
+            if snu == 0.5:
                 return e * t / phi
-            if nu == 1.5:
+            if snu == 1.5:
                 return e * t * t / phi
             return e * t * t * (1.0 + t) / (3.0 * phi)
+
+        return drho
+    if isinstance(kernel, Matern):
+        def drho(d, phi, nu):
+            # d/dt [t^nu K_nu(t)] = -t^nu K_{nu-1}(t) and dt/dphi = -t/phi
+            # => drho/dphi = 2^{1-nu}/Gamma(nu) t^{nu+1} K_{nu-1}(t) / phi.
+            # K_{-a} = K_a, so kve handles nu < 1.
+            from pynngp_tpu.bessel import _kve_raw
+
+            t = jnp.sqrt(2.0 * nu) * d / phi
+            ts = jnp.maximum(t, 1e-8)
+            log_d = (
+                (1.0 - nu) * jnp.log(jnp.asarray(2.0, d.dtype))
+                - gammaln(nu)
+                + (nu + 1.0) * jnp.log(ts)
+                + jnp.log(_kve_raw(ts, nu - 1.0))
+                - ts
+            )
+            return jnp.where(t < 1e-8, jnp.zeros_like(t), jnp.exp(log_d) / phi)
 
         return drho
     raise NotImplementedError(kernel)
 
 
-def _grad_kernel(m, rho, drho, t_cell, params_ref, d_in_ref, d_tri_ref,
-                 mask_ref, ynbr_ref, yown_ref,
+def _drho_nu_fn(kernel):
+    """d rho / d nu for sampled-nu Matern: central finite difference over the
+    in-kernel general rho (two extra Bessel evaluations).  Matches the
+    documented d/dnu approximation of bessel.kve — only gradient-based moves
+    on nu use this; Metropolis-on-nu (reference semantics) never does."""
+    if not _needs_nu(kernel):
+        return None
+
+    def drho_nu(d, phi, nu):
+        h = jnp.asarray(5e-3, d.dtype)
+        lo = jnp.maximum(nu - h, 1e-3)
+        return (_matern_rho_general(d, phi, nu + h)
+                - _matern_rho_general(d, phi, lo)) / (nu + h - lo)
+
+    return drho_nu
+
+
+def _grad_kernel(m, rho, drho, drho_nu, t_cell, params_ref, d_in_ref,
+                 d_tri_ref, mask_ref, ynbr_ref, yown_ref,
                  ld_ref, quad_ref,
-                 dld_dphi_ref, dq_dphi_ref, dld_da_ref, dq_da_ref):
+                 dld_dphi_ref, dq_dphi_ref, dld_da_ref, dq_da_ref,
+                 *nu_refs):
     """Fused value+gradient pass: one factorization, back-substitution, and
-    dC/dphi, dC/dalpha contractions — emits per-cell partial sums of the
-    value (logdet, quad) AND all four derivative reductions, so a full
-    value_and_grad costs a single read of the distance tables."""
+    dC/dphi, dC/dalpha (and, for sampled-nu Matern, dC/dnu) contractions —
+    emits per-cell partial sums of the value (logdet, quad) AND all
+    derivative reductions, so a full value_and_grad costs a single read of
+    the distance tables."""
     cdt = d_in_ref.dtype
     phi = params_ref[0, 0].astype(cdt)
     alpha = params_ref[0, 1].astype(cdt)
     jitter = params_ref[0, 2].astype(cdt)
     n_f32 = params_ref[0, 3]
+    nu = params_ref[0, 4].astype(cdt)
 
     masks = [mask_ref[i] for i in range(m)]
-    c = [rho(d_in_ref[i], phi) * masks[i] for i in range(m)]
-    dc = [drho(d_in_ref[i], phi) * masks[i] for i in range(m)]
+    c = [rho(d_in_ref[i], phi, nu) * masks[i] for i in range(m)]
+    dc = [drho(d_in_ref[i], phi, nu) * masks[i] for i in range(m)]
     yn = [ynbr_ref[i] * masks[i] for i in range(m)]
 
     low = [[None] * m for _ in range(m)]
@@ -471,7 +550,7 @@ def _grad_kernel(m, rho, drho, t_cell, params_ref, d_in_ref, d_tri_ref,
         v[k] = av * inv_diag[k]
         for i in range(k + 1, m):
             mij = masks[i] * masks[k]
-            acc = rho(d_tri_ref[_tri(i, k)], phi) * mij
+            acc = rho(d_tri_ref[_tri(i, k)], phi, nu) * mij
             for j in range(k):
                 acc = acc - low[i][j] * low[k][j]
             low[i][k] = acc * inv_diag[k]
@@ -497,17 +576,31 @@ def _grad_kernel(m, rho, drho, t_cell, params_ref, d_in_ref, d_tri_ref,
         pp_sum = pp_sum + p[i] * p[i]
         pq_sum = pq_sum + p[i] * q[i]
 
-    # contractions with dC/dphi (zero diagonal: drho(0) = 0)
+    # contractions with dC/dphi (zero diagonal: drho(0) = 0); dC/dnu shares
+    # the exact same shape (rho(0) = 1 for every nu => diag-free too)
     df_phi = jnp.zeros_like(u[0])
     dr_phi = jnp.zeros_like(u[0])
+    with_nu = drho_nu is not None
+    if with_nu:
+        dcn = [drho_nu(d_in_ref[i], phi, nu) * masks[i] for i in range(m)]
+        df_nu = jnp.zeros_like(u[0])
+        dr_nu = jnp.zeros_like(u[0])
     for i in range(m):
         df_phi = df_phi - 2.0 * p[i] * dc[i]
         dr_phi = dr_phi - dc[i] * q[i]
+        if with_nu:
+            df_nu = df_nu - 2.0 * p[i] * dcn[i]
+            dr_nu = dr_nu - dcn[i] * q[i]
     for i in range(m):
         for j in range(i + 1, m):
-            dcij = drho(d_tri_ref[_tri(j, i)], phi) * masks[i] * masks[j]
+            mij = masks[i] * masks[j]
+            dcij = drho(d_tri_ref[_tri(j, i)], phi, nu) * mij
             df_phi = df_phi + 2.0 * p[i] * p[j] * dcij
             dr_phi = dr_phi + (p[i] * q[j] + p[j] * q[i]) * dcij
+            if with_nu:
+                dcnij = drho_nu(d_tri_ref[_tri(j, i)], phi, nu) * mij
+                df_nu = df_nu + 2.0 * p[i] * p[j] * dcnij
+                dr_nu = dr_nu + (p[i] * q[j] + p[j] * q[i]) * dcnij
 
     df_a = 1.0 + pp_sum
     dr_a = pq_sum
@@ -525,19 +618,26 @@ def _grad_kernel(m, rho, drho, t_cell, params_ref, d_in_ref, d_tri_ref,
     ratio2 = r_over_f * r_over_f  # = valid * (r/F)^2
     dq_dphi_ref[0] = jnp.sum(2.0 * r_over_f * dr_phi - ratio2 * df_phi, axis=0)
     dq_da_ref[0] = jnp.sum(2.0 * r_over_f * dr_a - ratio2 * df_a, axis=0)
+    if with_nu:
+        dld_dnu_ref, dq_dnu_ref = nu_refs
+        dld_dnu_ref[0] = jnp.sum(df_nu * inv_f, axis=0)
+        dq_dnu_ref[0] = jnp.sum(2.0 * r_over_f * dr_nu - ratio2 * df_nu, axis=0)
 
 
-def _run_grad(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4, jitter):
-    """One fused pass -> six scalars: (logdet, quad, dld_dphi, dq_dphi,
-    dld_da, dq_da)."""
+def _run_grad(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4, jitter,
+              nu=0.0):
+    """One fused pass -> six scalars (logdet, quad, dld_dphi, dq_dphi,
+    dld_da, dq_da), plus (dld_dnu, dq_dnu) for sampled-nu Matern."""
     m = cache.m
     s = cache.s_tiles
     t = cache.t_cell
     p = cache.d_tri.shape[0]
     rho = _rho_fn(kernel)
     drho = _drho_fn(kernel)
-    params = _params_vec(phi, alpha, jitter, cache.n)
-    kern = partial(_grad_kernel, m, rho, drho, t)
+    drho_nu = _drho_nu_fn(kernel)
+    n_out = 8 if drho_nu is not None else 6
+    params = _params_vec(phi, alpha, jitter, cache.n, nu)
+    kern = partial(_grad_kernel, m, rho, drho, drho_nu, t)
     plane, site = _cell_specs(m, p, t)
     cells = s // t
     part = pl.BlockSpec((1, _SUBLANES, _LANES), lambda i: (i, 0, 0))
@@ -545,17 +645,17 @@ def _run_grad(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4, jitter):
         kern,
         grid=(cells,),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
             plane(m),
             plane(p),
             plane(m),
             plane(m),
             site,
         ],
-        out_specs=[part] * 6,
+        out_specs=[part] * n_out,
         out_shape=[
             jax.ShapeDtypeStruct((cells, _SUBLANES, _LANES), y_own4.dtype)
-            for _ in range(6)
+            for _ in range(n_out)
         ],
         cost_estimate=pl.CostEstimate(
             flops=cache.n_pad * (m**3 // 2 + 6 * m * m),
@@ -574,8 +674,9 @@ def _bf_kernel(m, rho, params_ref, d_in_ref, d_tri_ref, mask_ref, b_ref, f_ref):
     phi = params_ref[0, 0].astype(cdt)
     alpha = params_ref[0, 1].astype(cdt)
     jitter = params_ref[0, 2].astype(cdt)
+    nu = params_ref[0, 3].astype(cdt)
     masks = [mask_ref[i] for i in range(m)]
-    c = [rho(d_in_ref[i], phi) * masks[i] for i in range(m)]
+    c = [rho(d_in_ref[i], phi, nu) * masks[i] for i in range(m)]
     low = [[None] * m for _ in range(m)]
     inv_diag = [None] * m
     u = [None] * m
@@ -592,7 +693,7 @@ def _bf_kernel(m, rho, params_ref, d_in_ref, d_tri_ref, mask_ref, b_ref, f_ref):
         u[k] = au * inv_diag[k]
         for i in range(k + 1, m):
             mij = masks[i] * masks[k]
-            acc = rho(d_tri_ref[_tri(i, k)], phi) * mij
+            acc = rho(d_tri_ref[_tri(i, k)], phi, nu) * mij
             for j in range(k):
                 acc = acc - low[i][j] * low[k][j]
             low[i][k] = acc * inv_diag[k]
@@ -617,17 +718,18 @@ def pallas_bf(kernel, params, cache: LaneCache, alpha, jitter=1e-6):
     rho = _rho_fn(kernel)
     phi = jnp.asarray(params["phi"], cache.d_in.dtype)
     alpha = jnp.asarray(alpha, phi.dtype)
+    nu = _kernel_nu(kernel, params)
     pvec = jnp.stack([
         phi.astype(jnp.float32), alpha.astype(jnp.float32),
-        jnp.asarray(jitter, jnp.float32),
-    ]).reshape(1, 3)
+        jnp.asarray(jitter, jnp.float32), jnp.asarray(nu, jnp.float32),
+    ]).reshape(1, 4)
     kern = partial(_bf_kernel, m, rho)
     plane, site = _cell_specs(m, p, t)
     b4, f4 = pl.pallas_call(
         kern,
         grid=(s // t,),
         in_specs=[
-            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
             plane(m),
             plane(p),
             plane(m),
