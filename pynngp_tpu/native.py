@@ -57,13 +57,19 @@ def _lib_path() -> str:
 
 
 def _build(lib_path: str) -> bool:
+    import shutil
+
+    if shutil.which("g++") is None:  # fast-fail: no 2x compile-timeout stall
+        print("pynngp_tpu: g++ not found; using python fallbacks",
+              file=sys.stderr)
+        return False
     tmp = lib_path + f".tmp{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
         "-o", tmp, _SRC,
     ]
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        subprocess.run(cmd, check=True, capture_output=True, timeout=60)
         os.replace(tmp, lib_path)
         return True
     except Exception:
@@ -71,7 +77,7 @@ def _build(lib_path: str) -> bool:
         try:
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
-                check=True, capture_output=True, timeout=120,
+                check=True, capture_output=True, timeout=60,
             )
             os.replace(tmp, lib_path)
             return True

@@ -117,6 +117,62 @@ def _pairwise_dist(a: np.ndarray, b: np.ndarray, metric) -> np.ndarray:
     raise ValueError(f"unknown metric {metric!r}")
 
 
+def _cache_dir() -> Optional[str]:
+    """Neighbor-table cache directory, or None when caching is disabled
+    (PYNNGP_NEIGHBOR_CACHE=0)."""
+    import os
+
+    flag = os.environ.get("PYNNGP_NEIGHBOR_CACHE", "1")
+    if flag in ("0", "off", "no"):
+        return None
+    if flag not in ("1", "on", "yes", ""):
+        return flag  # an explicit directory
+    root = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    return os.path.join(root, "pynngp_tpu", "neighbors")
+
+
+def _table_cache_key(coords: np.ndarray, m: int, ordering: str, metric: str,
+                     seed: int) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(coords).tobytes())
+    h.update(f"|{coords.shape}|{m}|{ordering}|{metric}|{seed}|v1".encode())
+    return h.hexdigest()[:24]
+
+
+def _table_cache_load(path: str) -> Optional[NeighborTable]:
+    try:
+        z = np.load(path)
+        return NeighborTable(
+            order=z["order"], inverse_order=z["inverse_order"],
+            nn_idx=z["nn_idx"], nn_mask=z["nn_mask"],
+        )
+    except Exception:
+        return None
+
+
+def _table_cache_store(path: str, table: NeighborTable) -> None:
+    import os
+    import tempfile
+
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        os.close(fd)
+        np.savez(
+            tmp, order=table.order, inverse_order=table.inverse_order,
+            nn_idx=table.nn_idx, nn_mask=table.nn_mask,
+        )
+        # np.savez appends .npz to the name it is given
+        os.replace(tmp + ".npz", path)
+        os.unlink(tmp)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
 def build_neighbor_table(
     coords: np.ndarray,
     m: int,
@@ -125,6 +181,7 @@ def build_neighbor_table(
     block_size: int = 2048,
     seed: int = 0,
     use_native: str = "auto",
+    cache: bool = True,
 ) -> NeighborTable:
     """Build the (n, m) nearest-preceding-neighbor table.
 
@@ -136,8 +193,43 @@ def build_neighbor_table(
         force — kd-trees do not apply to cosine dissimilarity).
       use_native: 'auto' uses the C++ kd-tree (cpp/nngp_native.cpp) when the
         toolchain is available (euclidean, d<=8); 'never' forces Python.
+      cache: memoize the result on disk keyed by (coords-hash, m, ordering,
+        metric, seed) — repeat runs at n=100k-500k then pay ~0 s setup
+        (SURVEY.md section 7 step 8).  Directory from $PYNNGP_NEIGHBOR_CACHE
+        (0/off disables; a path overrides; default ~/.cache/pynngp_tpu).
     """
+    import os
+
     coords = np.asarray(coords, dtype=np.float64)
+    cache_path = None
+    if cache:
+        cdir = _cache_dir()
+        if cdir is not None:
+            key = _table_cache_key(coords, m, ordering, metric, seed)
+            cache_path = os.path.join(cdir, f"nn-{key}.npz")
+            if os.path.exists(cache_path):
+                hit = _table_cache_load(cache_path)
+                if hit is not None and hit.nn_idx.shape == (
+                    coords.shape[0], int(min(m, coords.shape[0] - 1))
+                ):
+                    return hit
+    table = _build_neighbor_table_impl(
+        coords, m, ordering, metric, block_size, seed, use_native
+    )
+    if cache_path is not None:
+        _table_cache_store(cache_path, table)
+    return table
+
+
+def _build_neighbor_table_impl(
+    coords: np.ndarray,
+    m: int,
+    ordering: str,
+    metric: str,
+    block_size: int,
+    seed: int,
+    use_native: str,
+) -> NeighborTable:
     n = coords.shape[0]
     m = int(min(m, n - 1))
     if ordering == "coordinate":
