@@ -131,6 +131,9 @@ def run_chains_chunked(
     worst_case_factor_fn: Callable = None,
     checkpoint_path: str = None,
     checkpoint_every: int = 0,
+    metrics=None,
+    health_fn: Callable = None,
+    config=None,
 ):
     """Host-chunked multi-chain MCMC driver.
 
@@ -147,10 +150,45 @@ def run_chains_chunked(
     checkpoint resumes from it — preemption resilience (SURVEY.md sec 5.3/5.4;
     the reference simply reruns crashed jobs).
 
+    Observability (SURVEY.md sec 5.5): ``metrics`` is a
+    utils.metrics.MetricsLogger, or a path (one JSON line per chunk appended
+    to that file), or True (lines to stderr); ``health_fn(states) -> dict``
+    supplies sampler-specific fields (acceptance, step size, divergences) —
+    the models pass a suitable default.  ``config`` (config.NNGPConfig or
+    dict) is stored in every checkpoint sidecar, written next to it as
+    ``<path>.config.json``, and validated on resume (a changed config
+    refuses to reinterpret the state).
+
     Returns (final_states, draws) with draws stacked (n_chains, n_samples).
     """
     import os
     import time
+
+    from pynngp_tpu.utils.metrics import MetricsLogger
+
+    if metrics is True:
+        metrics = MetricsLogger()
+    elif isinstance(metrics, (str, os.PathLike)):
+        metrics = MetricsLogger(stream=open(metrics, "a"))
+
+    def _emit(phase, done, total, iters, dt):
+        if metrics is None:
+            return
+        fields = {}
+        if health_fn is not None:
+            try:
+                fields = {
+                    k: (float(v) if np.ndim(v) == 0 else np.asarray(v).tolist())
+                    for k, v in health_fn(states_box[0]).items()
+                }
+            except Exception:
+                pass
+        metrics.log(
+            phase, done=int(done), total=int(total),
+            seconds=round(dt, 3),
+            iters_per_sec=round(iters / dt, 3) if dt > 0 else None,
+            **fields,
+        )
 
     k_init, k_run = jax.random.split(key)
     init_keys = jax.random.split(k_init, n_chains)
@@ -166,7 +204,7 @@ def run_chains_chunked(
 
         with open(checkpoint_path + ".json") as fh:
             meta = json.load(fh).get("extra", {})
-        states = load_state(checkpoint_path, states)
+        states = load_state(checkpoint_path, states, config=config)
         resume_burn = int(meta.get("burn_done", 0))
         resume_draws = int(meta.get("draws_done", 0))
         draws_file = checkpoint_path + ".draws.npz"
@@ -175,6 +213,10 @@ def run_chains_chunked(
             prior_blocks = [
                 {k: z[k] for k in z.files}
             ]
+        if metrics is not None:
+            metrics.log(
+                "resume", burn_done=resume_burn, draws_done=resume_draws
+            )
 
     def _checkpoint(burn_done, draws_done, collected):
         if not checkpoint_path:
@@ -184,7 +226,19 @@ def run_chains_chunked(
         save_state(
             checkpoint_path, states_box[0],
             extra={"burn_done": int(burn_done), "draws_done": int(draws_done)},
+            config=config,
         )
+        if config is not None:
+            import dataclasses
+            import json
+
+            cfg = (
+                dataclasses.asdict(config)
+                if dataclasses.is_dataclass(config)
+                else dict(config)
+            )
+            with open(checkpoint_path + ".config.json", "w") as fh:
+                json.dump(cfg, fh, indent=2)
         if collected:
             merged = jax.tree.map(
                 lambda *xs: np.concatenate(xs, axis=0), *collected
@@ -227,7 +281,10 @@ def run_chains_chunked(
     it = resume_burn
     chunks_since_ckpt = 0
     while it < n_burn:
+        t_chunk = time.time()
         states = burn_c(states, jnp.asarray(it, jnp.int32))
+        if metrics is not None:  # honest per-chunk timing costs one sync
+            jax.block_until_ready(states)
         states_box[0] = states
         it += chunk
         chunks_since_ckpt += 1
@@ -236,6 +293,7 @@ def run_chains_chunked(
             chunks_since_ckpt = 0
         if progress_fn:
             progress_fn("burn", min(it, n_burn), n_burn)
+        _emit("burn", min(it, n_burn), n_burn, chunk, time.time() - t_chunk)
     burn_total = max(it, n_burn)  # may exceed n_burn by < chunk (harmless)
 
     chunk_draws = max(1, chunk // thin)
@@ -254,6 +312,7 @@ def run_chains_chunked(
     collected = list(prior_blocks)
     got = resume_draws
     while got < n_samples:
+        t_chunk = time.time()
         states, block = draw_c(
             states, jnp.asarray(burn_total + got * thin, jnp.int32)
         )
@@ -266,6 +325,10 @@ def run_chains_chunked(
             chunks_since_ckpt = 0
         if progress_fn:
             progress_fn("sample", min(got, n_samples), n_samples)
+        _emit(
+            "sample", min(got, n_samples), n_samples,
+            chunk_draws * thin, time.time() - t_chunk,
+        )
     draws = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *collected)
     draws = jax.tree.map(lambda a: a[:n_samples], draws)
     # draws axes are (n_draws, n_chains, ...) -> (n_chains, n_draws, ...)
