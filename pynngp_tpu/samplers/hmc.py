@@ -200,8 +200,12 @@ def make_hmc_kernel(
     n_burn: int,
     n_leapfrog: int = 32,
     target_accept: float = 0.8,
+    init_inv_mass=None,
 ):
-    """Build (init_fn(key, z0), step_fn(key, state)) for chunked drivers."""
+    """Build (init_fn(key, z0), step_fn(key, state)) for chunked drivers.
+
+    ``init_inv_mass``: optional (dim,) starting diagonal inverse metric
+    (see nuts.make_nuts_kernel)."""
     from pynngp_tpu.samplers.nuts import _warmup_schedule
 
     adapt_metric_np, reset_np = _warmup_schedule(max(n_burn, 1))
@@ -212,7 +216,10 @@ def make_hmc_kernel(
         dtype = z0.dtype
         dim = z0.shape[0]
         value0, grad0 = value_and_grad_fn(z0)
-        inv_mass0 = jnp.ones((dim,), dtype)
+        if init_inv_mass is None:
+            inv_mass0 = jnp.ones((dim,), dtype)
+        else:
+            inv_mass0 = jnp.asarray(init_inv_mass, dtype)
         eps0 = find_reasonable_step_size(value_and_grad_fn, z0, inv_mass0, key)
         info0 = HMCInfo(
             accept_prob=jnp.zeros((), dtype),

@@ -1,0 +1,101 @@
+"""MAP optimization + Laplace approximation on the unconstrained posterior.
+
+Purpose (BASELINE.json north-star): make the ESS/sec measurement *valid* by
+starting chains in the typical set with a posterior-scaled metric.  At
+n=100k the hyperparameter posterior concentrates at O(1/sqrt(n)) scale in
+unconstrained coordinates; cold-started NUTS with a unit metric spends its
+whole warmup budget finding the mode (round-2 bench: R-hat 8.4).  A few
+hundred Adam steps on the same differentiable log-posterior cost less than
+a handful of NUTS iterations and place every chain (plus the mass matrix)
+where warmup only needs to fine-tune.
+
+The reference has no optimizer at all (MCMC only — SURVEY.md section 3.2);
+this is new TPU-native machinery over the shared ``full_logpost``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+__all__ = ["MAPResult", "map_fit", "laplace_variance"]
+
+
+class MAPResult(NamedTuple):
+    u: jax.Array  # (k,) MAP point, unconstrained coordinates
+    value: jax.Array  # log-posterior at u
+    laplace_var: jax.Array  # (k,) diagonal posterior variance estimate
+    converged: jax.Array  # |grad|_inf below tolerance at the end
+    trace: jax.Array  # (n_steps,) log-posterior trace
+
+
+def map_fit(
+    logpost_fn: Callable,
+    u0,
+    n_steps: int = 300,
+    learning_rate: float = 5e-2,
+    grad_tol: float = 1e-2,
+) -> MAPResult:
+    """Adam ascent on ``logpost_fn`` from ``u0``; returns the best iterate
+    (not the last — Adam can overshoot on stiff posteriors) plus a Laplace
+    diagonal-variance estimate at that point.
+
+    One jitted program; cost = ``n_steps`` value_and_grad evaluations of the
+    target (each one fused Vecchia suffstats pass on the Pallas backend).
+    """
+    u0 = jnp.asarray(u0)
+    vg = jax.value_and_grad(logpost_fn)
+    opt = optax.adam(learning_rate)
+
+    def body(carry, _):
+        u, opt_state, best_u, best_v = carry
+        v, g = vg(u)
+        # maximize: step along +grad (optax minimizes, so negate)
+        updates, opt_state = opt.update(jax.tree.map(jnp.negative, g), opt_state)
+        u_new = optax.apply_updates(u, updates)
+        better = v > best_v
+        best_u = jnp.where(better, u, best_u)
+        best_v = jnp.where(better, v, best_v)
+        return (u_new, opt_state, best_u, best_v), v
+
+    init = (u0, opt.init(u0), u0, jnp.asarray(-jnp.inf, u0.dtype))
+    (u_last, _, best_u, best_v), trace = lax.scan(
+        body, init, None, length=n_steps
+    )
+    # prefer the final iterate when it improves on the running best
+    v_last, g_last = vg(u_last)
+    better = v_last > best_v
+    u_map = jnp.where(better, u_last, best_u)
+    v_map = jnp.where(better, v_last, best_v)
+    _, g_map = vg(u_map)
+    converged = jnp.max(jnp.abs(g_map)) < grad_tol
+    var = laplace_variance(logpost_fn, u_map)
+    return MAPResult(
+        u=u_map, value=v_map, laplace_var=var, converged=converged, trace=trace
+    )
+
+
+def laplace_variance(logpost_fn: Callable, u_map, rel_floor: float = 1e-8):
+    """Diagonal posterior variance from the Laplace approximation
+    diag(H^{-1}) with H = -hessian(logpost) at the MAP.
+
+    The unconstrained dimension is tiny (3-5 hyperparameters + p fixed
+    effects), so the exact dense Hessian via forward-over-reverse is cheap —
+    k gradient passes.  Non-positive curvature directions (MAP not fully
+    converged, flat nu) fall back to a unit scale so the result is always a
+    valid mass matrix."""
+    u_map = jnp.asarray(u_map)
+    h = -jax.hessian(logpost_fn)(u_map)  # (k, k), positive definite at a MAP
+    k = u_map.shape[0]
+    # robust inverse: clamp eigenvalues away from zero
+    evals, evecs = jnp.linalg.eigh(h)
+    floor = jnp.maximum(jnp.max(jnp.abs(evals)) * rel_floor, 1e-30)
+    safe = jnp.maximum(evals, floor)
+    hinv = (evecs / safe[None, :]) @ evecs.T
+    var = jnp.diag(hinv)
+    bad = (jnp.min(evals) <= 0.0) | ~jnp.all(jnp.isfinite(var))
+    return jnp.where(bad, jnp.ones((k,), u_map.dtype), var)

@@ -323,9 +323,16 @@ def make_nuts_kernel(
     n_burn: int,
     max_depth: int = 8,
     target_accept: float = 0.8,
+    init_inv_mass=None,
 ):
     """Build (init_fn(key, z0), step_fn(key, state)) with Stan-style windowed
-    warmup handled branchlessly inside step_fn (iteration < n_burn)."""
+    warmup handled branchlessly inside step_fn (iteration < n_burn).
+
+    ``init_inv_mass``: optional (dim,) diagonal inverse metric to start from
+    (e.g. a Laplace posterior-variance estimate — samplers/mapfit.py);
+    warmup's Welford windows still refine it.  Starting at the posterior
+    scale instead of the unit metric is what makes short warmups converge at
+    n=100k (BASELINE north-star config)."""
     adapt_metric_np, reset_np = _warmup_schedule(max(n_burn, 1))
     adapt_metric = jnp.asarray(adapt_metric_np)
     reset_at = jnp.asarray(reset_np)
@@ -334,7 +341,10 @@ def make_nuts_kernel(
         dtype = z0.dtype
         dim = z0.shape[0]
         value0, grad0 = value_and_grad_fn(z0)
-        inv_mass0 = jnp.ones((dim,), dtype)
+        if init_inv_mass is None:
+            inv_mass0 = jnp.ones((dim,), dtype)
+        else:
+            inv_mass0 = jnp.asarray(init_inv_mass, dtype)
         eps0 = find_reasonable_step_size(value_and_grad_fn, z0, inv_mass0, key)
         info0 = NUTSInfo(
             accept_prob=jnp.zeros((), dtype),

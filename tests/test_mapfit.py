@@ -1,0 +1,83 @@
+"""MAP + Laplace warm start (samplers/mapfit.py) and the warm-started NUTS
+path (models/response.py sample_nuts(init_u=..., init_inv_mass=...)) — the
+round-3 machinery that makes the north-star ESS/sec measurement valid
+(BASELINE.md primary metric; bench.py bench_ess)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import pynngp_tpu as pn
+from pynngp_tpu.diagnostics import ess, split_rhat
+from pynngp_tpu.samplers.mapfit import laplace_variance, map_fit
+
+
+def _simulated_model(rng, n=400):
+    coords = rng.uniform(size=(n, 2))
+    freqs = rng.normal(scale=3.0, size=(32, 2))
+    phases = rng.uniform(0, 2 * np.pi, 32)
+    w = np.sqrt(2 / 32) * np.cos(coords @ freqs.T + phases).sum(axis=1)
+    y = w + 0.3 * rng.standard_normal(n)
+    return pn.ResponseNNGP(coords, y, kernel="sqexp", m=10)
+
+
+def test_map_fit_improves_and_near_stationary(rng):
+    model = _simulated_model(rng)
+    u0 = model._full_init_u(jax.random.PRNGKey(0), None, jitter=0.0)
+    v0 = float(model.full_logpost(u0))
+    mp = model.fit_map(n_steps=400)
+    assert float(mp.value) > v0
+    g = np.asarray(jax.grad(model.full_logpost)(mp.u))
+    # posterior curvature ~ n; gradient a small fraction of a posterior sd
+    assert np.all(np.abs(g) * np.sqrt(np.asarray(mp.laplace_var)) < 0.5)
+
+
+def test_laplace_variance_matches_quadratic_target():
+    # exact Gaussian target: Laplace variance must equal the true variance
+    var_true = jnp.asarray([0.5, 2.0, 0.01])
+
+    def logpost(u):
+        return -0.5 * jnp.sum(u * u / var_true)
+
+    var = laplace_variance(logpost, jnp.zeros((3,)))
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_true), rtol=1e-6)
+
+
+def test_laplace_variance_nonpsd_falls_back_to_unit():
+    def logpost(u):
+        return 0.5 * u[0] * u[0] - 0.5 * u[1] * u[1]  # saddle: not a max
+
+    var = laplace_variance(logpost, jnp.zeros((2,)))
+    np.testing.assert_allclose(np.asarray(var), np.ones(2))
+
+
+def test_map_fit_standalone_gaussian():
+    def logpost(u):
+        return -0.5 * jnp.sum((u - 3.0) ** 2 / 0.25)
+
+    res = map_fit(logpost, jnp.zeros((2,)), n_steps=500, learning_rate=0.2)
+    np.testing.assert_allclose(np.asarray(res.u), 3.0, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(res.laplace_var), 0.25, rtol=1e-4)
+    assert bool(res.converged)
+
+
+@pytest.mark.slow
+def test_warm_started_nuts_converges(rng):
+    """End-to-end: MAP warm start + Laplace metric => converged short run."""
+    model = _simulated_model(rng)
+    mp = model.fit_map(n_steps=400)
+    draws = model.sample_nuts(
+        120,
+        n_burn=120,
+        n_chains=2,
+        max_depth=6,
+        init_u=np.asarray(mp.u),
+        init_inv_mass=np.asarray(mp.laplace_var),
+        init_jitter=2.0,
+        seed=3,
+    )
+    for k in ("phi", "sigma2", "tau2"):
+        v = np.asarray(draws[k])
+        assert split_rhat(v) < 1.2, (k, split_rhat(v))
+        assert ess(v) > 20, (k, ess(v))
