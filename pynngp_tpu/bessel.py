@@ -26,9 +26,42 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.scipy.special import gammaln
 
 __all__ = ["kv", "kve", "log_kve"]
+
+# Lanczos (g=7, n=9) log-gamma for z > 0, built from add/div/log only —
+# Mosaic (Pallas TPU) has no lgamma primitive, and this module must lower
+# inside the fused kernels (ops/pallas_bf.py general-nu Matern).  Absolute
+# error < 1e-13 in fp64; far below fp32 noise in fp32.
+_LANCZOS_G = 7.0
+_LANCZOS_COEF = (
+    0.99999999999980993,
+    676.5203681218851,
+    -1259.1392167224028,
+    771.32342877765313,
+    -176.61502916214059,
+    12.507343278686905,
+    -0.13857109526572012,
+    9.9843695780195716e-6,
+    1.5056327351493116e-7,
+)
+_HALF_LOG_2PI = 0.9189385332046727  # 0.5 * log(2 pi)
+
+
+def lgamma_pos(z):
+    """log Gamma(z) for z > 0, elementwise, Pallas-lowerable."""
+    z = jnp.asarray(z)
+    zm1 = z - 1.0
+    acc = jnp.full_like(zm1, _LANCZOS_COEF[0])
+    for i in range(1, len(_LANCZOS_COEF)):
+        acc = acc + _LANCZOS_COEF[i] / (zm1 + i)
+    t = zm1 + _LANCZOS_G + 0.5
+    return _HALF_LOG_2PI + (zm1 + 0.5) * jnp.log(t) - t + jnp.log(acc)
+
+
+def gammaln(z):
+    """Pallas-lowerable gammaln restricted to z > 0 (all uses here)."""
+    return lgamma_pos(z)
 
 _EULER_GAMMA = 0.5772156649015329
 _TEMME_ITERS = 40  # series terms for x <= 2 (fp64-clean to ~1e-15 at x=2)
@@ -68,13 +101,21 @@ def _kv_temme_small(x, mu):
     )
     d = -jnp.log(x / 2.0)
     e = mu * d
-    sinh_ratio = jnp.where(jnp.abs(e) < 1e-6, 1.0 + e * e / 6.0, jnp.sinh(e) / e)
-    gam1, gam2, gampl, gammi = _chebyshev_gam(mu)
-    ff = sin_ratio * (gam1 * jnp.cosh(e) + gam2 * sinh_ratio * d)
     ee = jnp.exp(e)
+    # exp-based sinh/cosh: Mosaic lowers exp but not sinh/cosh primitives
+    sinh_e = 0.5 * (ee - 1.0 / ee)
+    cosh_e = 0.5 * (ee + 1.0 / ee)
+    sinh_ratio = jnp.where(jnp.abs(e) < 1e-6, 1.0 + e * e / 6.0, sinh_e / e)
+    gam1, gam2, gampl, gammi = _chebyshev_gam(mu)
+    ff = sin_ratio * (gam1 * cosh_e + gam2 * sinh_ratio * d)
     p = 0.5 * ee / gampl  # 0.5 * e^{mu d} * Gamma(1+mu)
     q = 0.5 / (ee * gammi)  # 0.5 * e^{-mu d} * Gamma(1-mu)
-    c = jnp.ones_like(x)
+    # NOT ones_like: Mosaic infers a *replicated* vector layout for splat
+    # constants, but loop-carried values become concrete after an iteration
+    # and the replicated<-concrete relayout is rejected ("Invalid relayout
+    # ... replicated in destination but not in source").  Deriving every
+    # carry init from x pins a concrete layout from the start.
+    c = 1.0 + 0.0 * x
     dd = 0.25 * x * x
     ksum = ff
     ksum1 = p
@@ -105,31 +146,52 @@ def _kv_cf2_large(x, mu):
     d = 1.0 / b
     h = d
     delh = d
-    a1 = 0.25 - mu * mu
-    q1 = jnp.zeros_like(x)
-    q2 = jnp.ones_like(x)
+    # Derive every carry init from x: (a) shape-stability when mu is a
+    # scalar and x an array (scalars would become arrays after the first
+    # iteration — a carry-shape error), and (b) a concrete Mosaic vector
+    # layout — splat inits (ones_like/zeros_like) infer a *replicated*
+    # layout that cannot be relaid out from the concrete loop-carried
+    # values (see _kv_temme_small).
+    a1 = (0.25 - mu * mu) + 0.0 * x
+    q1 = 0.0 * x
+    q2 = 1.0 + 0.0 * x
     a = -a1
     q = a1
     c = a1
     s = 1.0 + q * delh
+    # Per-lane freeze once the series has converged: the auxiliary q/c
+    # sequences keep growing ~2^i after convergence and overflow fp32 well
+    # before the fixed 64 iterations complete (inf - inf => NaN at ordinary
+    # x in [2, 10]); fp64 merely wastes iterations.  CF2 converges in
+    # ~10-25 steps for x >= 2, so every lane freezes long before overflow.
+    eps_conv = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    done = x < 0.0  # all-False, derived from x for a concrete Mosaic layout
 
     def body(i, carry):
-        b, d, h, delh, q1, q2, a, q, c, s = carry
+        b, d, h, delh, q1, q2, a, q, c, s, done = carry
         fi = i.astype(dtype)
-        a = a - 2.0 * (fi - 1.0)
-        c = -a * c / fi
-        qnew = (q1 - b * q2) / a
-        q1, q2 = q2, qnew
-        q = q + c * qnew
-        b = b + 2.0
-        d = 1.0 / (b + a * d)
-        delh = (b * d - 1.0) * delh
-        h = h + delh
-        s = s + q * delh
-        return b, d, h, delh, q1, q2, a, q, c, s
+        a_n = a - 2.0 * (fi - 1.0)
+        c_n = -a_n * c / fi
+        qnew = (q1 - b * q2) / a_n
+        q1_n, q2_n = q2, qnew
+        q_n = q + c_n * qnew
+        b_n = b + 2.0
+        d_n = 1.0 / (b_n + a_n * d)
+        delh_n = (b_n * d_n - 1.0) * delh
+        h_n = h + delh_n
+        s_n = s + q_n * delh_n
+        # converge on s (increments q*delh): s converges last — q grows while
+        # delh shrinks — and the result is sqrt(pi/2x)/s (NR besselik test)
+        done_n = done | (jnp.abs(q_n * delh_n) <= eps_conv * jnp.abs(s_n))
+        keep = lambda new, old: jnp.where(done, old, new)
+        return (
+            keep(b_n, b), keep(d_n, d), keep(h_n, h), keep(delh_n, delh),
+            keep(q1_n, q1), keep(q2_n, q2), keep(a_n, a), keep(q_n, q),
+            keep(c_n, c), keep(s_n, s), done_n,
+        )
 
-    b, d, h, delh, q1, q2, a, q, c, s = lax.fori_loop(
-        2, _CF2_ITERS + 2, body, (b, d, h, delh, q1, q2, a, q, c, s)
+    b, d, h, delh, q1, q2, a, q, c, s, done = lax.fori_loop(
+        2, _CF2_ITERS + 2, body, (b, d, h, delh, q1, q2, a, q, c, s, done)
     )
     h = a1 * h
     # e^x K_mu(x) = sqrt(pi / 2x) / s
