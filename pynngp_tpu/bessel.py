@@ -77,17 +77,39 @@ def _rgamma(z):
     return jnp.exp(-gammaln(z))
 
 
+# Taylor coefficients of f(x) = 1/Gamma(1+x) = 1 + b1 x + b2 x^2 + ...
+# (classic 1/Gamma series).  gam1 = [f(-mu)-f(mu)]/(2mu) = -(b1 + b3 mu^2 +
+# b5 mu^4 + ...) and gam2 = [f(-mu)+f(mu)]/2 = 1 + b2 mu^2 + b4 mu^4 + ...
+_INVGAMMA_B = (
+    0.5772156649015329,    # b1 (= euler_gamma)
+    -0.6558780715202538,   # b2
+    -0.0420026350340952,   # b3
+    0.1665386113822915,    # b4
+    -0.0421977345555443,   # b5
+)
+
+
 def _chebyshev_gam(mu):
-    """gam1 = [1/G(1-mu) - 1/G(1+mu)] / (2 mu) and gam2 = their mean,
-    with the analytic mu -> 0 limit gam1 -> euler_gamma."""
-    gampl = _rgamma(1.0 + mu)  # 1/Gamma(1+mu)
-    gammi = _rgamma(1.0 - mu)  # 1/Gamma(1-mu), mu in [0, 0.5] so arg >= 0.5
-    small = jnp.abs(mu) < 1e-6
+    """gam1 = [1/G(1-mu) - 1/G(1+mu)] / (2 mu) and gam2 = their mean.
+
+    For |mu| < 0.01 the difference quotient cancels catastrophically in
+    fp32 (eps/(2 mu) noise reached 8% relative K error at mu ~ 1e-5), so
+    both come from the even/odd Taylor series of 1/Gamma(1+x) — truncation
+    error < 1e-14 at mu = 0.01."""
+    b1, b2, b3, b4, b5 = _INVGAMMA_B
+    gampl = _rgamma(1.0 + mu)  # 1/Gamma(1+mu), |mu| <= 0.5 so arg >= 0.5
+    gammi = _rgamma(1.0 - mu)  # 1/Gamma(1-mu)
+    mu2 = mu * mu
+    small = jnp.abs(mu) < 0.01
     safe_mu = jnp.where(small, 1.0, mu)
-    # 1/Gamma(1-mu) ~ 1 - euler_gamma*mu, 1/Gamma(1+mu) ~ 1 + euler_gamma*mu
-    # => gam1 -> -euler_gamma as mu -> 0.
-    gam1 = jnp.where(small, -_EULER_GAMMA, (gammi - gampl) / (2.0 * safe_mu))
-    gam2 = 0.5 * (gammi + gampl)
+    gam1 = jnp.where(
+        small,
+        -(b1 + mu2 * (b3 + mu2 * b5)),
+        (gammi - gampl) / (2.0 * safe_mu),
+    )
+    gam2 = jnp.where(
+        small, 1.0 + mu2 * (b2 + mu2 * b4), 0.5 * (gammi + gampl)
+    )
     return gam1, gam2, gampl, gammi
 
 
@@ -105,7 +127,13 @@ def _kv_temme_small(x, mu):
     # exp-based sinh/cosh: Mosaic lowers exp but not sinh/cosh primitives
     sinh_e = 0.5 * (ee - 1.0 / ee)
     cosh_e = 0.5 * (ee + 1.0 / ee)
-    sinh_ratio = jnp.where(jnp.abs(e) < 1e-6, 1.0 + e * e / 6.0, sinh_e / e)
+    # wide Taylor window: the exp-difference sinh cancels in fp32 (noise
+    # ~eps/2e, i.e. 6e-3 relative at e=1e-5); Taylor truncation at e=0.05
+    # is ~3e-12 — far below fp32 eps
+    e2 = e * e
+    sinh_ratio = jnp.where(
+        jnp.abs(e) < 0.05, 1.0 + e2 / 6.0 + e2 * e2 / 120.0, sinh_e / e
+    )
     gam1, gam2, gampl, gammi = _chebyshev_gam(mu)
     ff = sin_ratio * (gam1 * cosh_e + gam2 * sinh_ratio * d)
     p = 0.5 * ee / gampl  # 0.5 * e^{mu d} * Gamma(1+mu)
@@ -165,10 +193,14 @@ def _kv_cf2_large(x, mu):
     # x in [2, 10]); fp64 merely wastes iterations.  CF2 converges in
     # ~10-25 steps for x >= 2, so every lane freezes long before overflow.
     eps_conv = jnp.asarray(jnp.finfo(dtype).eps, dtype)
-    done = x < 0.0  # all-False, derived from x for a concrete Mosaic layout
+    # Carried as float32 {0,1}, not bool: Mosaic fails to legalize scf.for
+    # loops with vector<i1> block arguments ("failed to legalize operation
+    # 'scf.for'" on v5e) — booleans are recomputed per-iteration instead.
+    done = 0.0 * x  # all-not-done, derived from x for a concrete layout
 
     def body(i, carry):
         b, d, h, delh, q1, q2, a, q, c, s, done = carry
+        was_done = done > 0.5
         fi = i.astype(dtype)
         a_n = a - 2.0 * (fi - 1.0)
         c_n = -a_n * c / fi
@@ -182,8 +214,9 @@ def _kv_cf2_large(x, mu):
         s_n = s + q_n * delh_n
         # converge on s (increments q*delh): s converges last — q grows while
         # delh shrinks — and the result is sqrt(pi/2x)/s (NR besselik test)
-        done_n = done | (jnp.abs(q_n * delh_n) <= eps_conv * jnp.abs(s_n))
-        keep = lambda new, old: jnp.where(done, old, new)
+        conv = jnp.abs(q_n * delh_n) <= eps_conv * jnp.abs(s_n)
+        done_n = jnp.maximum(done, jnp.where(conv, 1.0 + 0.0 * x, 0.0 * x))
+        keep = lambda new, old: jnp.where(was_done, old, new)
         return (
             keep(b_n, b), keep(d_n, d), keep(h_n, h), keep(delh_n, delh),
             keep(q1_n, q1), keep(q2_n, q2), keep(a_n, a), keep(q_n, q),
@@ -209,9 +242,17 @@ def _kve_mu_pair(x, mu):
 
 
 def _kve_raw(x, nu):
-    """Scaled e^x * K_nu(x) for nu >= 0 via forward recurrence from mu."""
+    """Scaled e^x * K_nu(x) for nu >= 0 via forward recurrence from mu.
+
+    nu splits at the NEAREST integer (mu in [-0.5, 0.5], the Numerical-
+    Recipes besselik convention), not floor: the Temme series is even in mu
+    only up to the sin(pi mu) prefactor, and as mu -> 1^- that prefactor
+    blows up and the fp32 series cancels catastrophically — kve went
+    *negative* (then log -> NaN inside the Matern kernel) for nu in
+    [0.9999, 0.99999] at moderate x.  All downstream formulas are valid for
+    negative mu (K_{-mu} = K_mu; 1/Gamma(1 +- mu) args stay >= 0.5)."""
     nu = jnp.abs(nu)  # K_{-nu} = K_nu
-    k_steps = jnp.floor(nu).astype(jnp.int32)
+    k_steps = jnp.floor(nu + 0.5).astype(jnp.int32)  # floor, not round: Mosaic
     mu = nu - k_steps.astype(x.dtype)
     kmu, kmu1 = _kve_mu_pair(x, mu)
 

@@ -147,7 +147,9 @@ class LatentNNGP:
         lane_cache = None
         vd = sd.vecchia
         if backend == "pallas":
-            lane_cache = _pb.make_lane_cache(vd, dtype, dist_fn=self.dist_fn)
+            lane_cache = _pb.make_lane_cache(
+                vd, dtype, dist_fn=self.dist_fn, kernel=self.kernel
+            )
             vd = vd._replace(nn_dist=None, nn_cross_dist=None)
         elif vd.nn_dist is not None:
             vd = vd._replace(

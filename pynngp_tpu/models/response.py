@@ -132,7 +132,9 @@ class ResponseNNGP:
         lane_cache = None
         vd = sd.vecchia
         if backend == "pallas":
-            lane_cache = _pb.make_lane_cache(vd, dtype, dist_fn=self.dist_fn)
+            lane_cache = _pb.make_lane_cache(
+                vd, dtype, dist_fn=self.dist_fn, kernel=self.kernel
+            )
             if self.p == 0:
                 # host-side distance caches are folded into the lane cache;
                 # drop them from the traced bundle (they would transfer per
@@ -235,14 +237,16 @@ class ResponseNNGP:
     def _noise_w(self):
         return self._big()["noise_w"]
 
-    def _diff_suff(self, phi, alpha, y):
+    def _diff_suff(self, phi, alpha, y, nu=None):
         """Differentiable fused suffstats, rebuilt per trace so the lane
-        cache enters through the DataRef (not a baked closure)."""
+        cache enters through the DataRef (not a baked closure).  Sampled-nu
+        Matern threads nu through the value+gradient kernel."""
         from pynngp_tpu.ops import pallas_bf as _pb
 
-        return _pb.make_diff_suffstats(self.kernel, self._lane_cache, self.jitter)(
-            phi, alpha, y
-        )
+        suff = _pb.make_diff_suffstats(self.kernel, self._lane_cache, self.jitter)
+        if nu is not None:
+            return suff(phi, alpha, y, nu)
+        return suff(phi, alpha, y)
 
     @property
     def _sharded(self):
@@ -522,7 +526,9 @@ class ResponseNNGP:
                 kp, sigma2, alpha, sh["data"], r_own, r_full, sh["valid"],
             )
         if self.backend == "pallas" and self.p == 0:
-            logdet, quad = self._diff_suff(phi, alpha, self.data.y)
+            logdet, quad = self._diff_suff(
+                phi, alpha, self.data.y, nat.get("nu")
+            )
         else:
             b, f = vecchia_bf(
                 self.kernel, kp, self.data.vecchia,
@@ -657,7 +663,7 @@ class ResponseNNGP:
             draws["beta"] = np.asarray(beta)
         return draws, res
 
-    def _full_init_u(self, key, init: Optional[dict] = None):
+    def _full_init_u(self, key, init: Optional[dict] = None, jitter: float = 0.1):
         init = init or {}
         var_y = jnp.var(self.data.y)
         pp = self.priors["phi"]
@@ -678,8 +684,44 @@ class ResponseNNGP:
                 [u, jnp.zeros((self.p,), self.dtype) + init.get("beta", 0.0)]
             )
         # small per-chain jitter for overdispersed starts
-        u = u + 0.1 * jax.random.normal(key, u.shape, self.dtype)
+        if jitter:
+            u = u + jitter * jax.random.normal(key, u.shape, self.dtype)
         return u
+
+    def _warm_init_u(self, key, init_u, init_inv_mass, init_jitter):
+        """Per-chain start around a warm-start point, dispersed by
+        ``init_jitter`` posterior standard deviations per coordinate."""
+        u = jnp.asarray(init_u, self.dtype)
+        scale = (
+            jnp.sqrt(jnp.asarray(init_inv_mass, self.dtype))
+            if init_inv_mass is not None
+            else jnp.ones(u.shape, self.dtype)
+        )
+        return u + init_jitter * scale * jax.random.normal(key, u.shape, self.dtype)
+
+    def fit_map(
+        self,
+        n_steps: int = 300,
+        learning_rate: float = 5e-2,
+        init: Optional[dict] = None,
+        seed: int = 0,
+    ):
+        """MAP optimization + Laplace approximation on the joint
+        unconstrained posterior (samplers/mapfit.py).  Returns a MAPResult
+        whose ``u`` / ``laplace_var`` are the natural warm start for
+        ``sample_nuts(init_u=..., init_inv_mass=...)`` — at n=100k the
+        posterior concentrates at O(1/sqrt(n)) scale and cold-started short
+        warmups do not converge (BASELINE north-star config)."""
+        from pynngp_tpu.samplers.mapfit import map_fit
+        from pynngp_tpu.utils.jit import jit_bound
+
+        u0 = self._full_init_u(jax.random.PRNGKey(seed), init, jitter=0.0)
+        return jit_bound(
+            lambda: map_fit(
+                self.full_logpost, u0, n_steps=n_steps,
+                learning_rate=learning_rate,
+            )
+        )()
 
     def _collect_full(self, z, value, info):
         nat, beta = self._unpack_full(z)
@@ -700,25 +742,38 @@ class ResponseNNGP:
         max_depth: int = 8,
         target_accept: float = 0.8,
         init: Optional[dict] = None,
+        init_u=None,
+        init_inv_mass=None,
+        init_jitter: float = 1.0,
         jit: bool = True,
         **driver_kwargs,
     ):
         """NUTS over the joint hyperparameter (+ fixed-effect) posterior.
 
         Host-chunked: device programs are bounded (~12 s) so long runs never
-        trip device/tunnel watchdogs; state stays on device between chunks."""
+        trip device/tunnel watchdogs; state stays on device between chunks.
+
+        Warm start (``fit_map``): ``init_u`` starts every chain at that
+        unconstrained point, dispersed by ``init_jitter`` posterior standard
+        deviations (``sqrt(init_inv_mass)`` per coordinate);
+        ``init_inv_mass`` additionally seeds the diagonal inverse metric so
+        warmup refines the Laplace scale instead of discovering it."""
         from pynngp_tpu.models.base import run_chains_chunked
         from pynngp_tpu.samplers.nuts import make_nuts_kernel
 
         key = jax.random.PRNGKey(seed)
         vg = jax.value_and_grad(self.full_logpost)
         init_kernel, step_kernel = make_nuts_kernel(
-            vg, n_burn, max_depth, target_accept
+            vg, n_burn, max_depth, target_accept, init_inv_mass=init_inv_mass
         )
 
         def init_fn(k):
             k1, k2 = jax.random.split(k)
-            return init_kernel(k2, self._full_init_u(k1, init))
+            if init_u is not None:
+                u0 = self._warm_init_u(k1, init_u, init_inv_mass, init_jitter)
+            else:
+                u0 = self._full_init_u(k1, init)
+            return init_kernel(k2, u0)
 
         _, draws = run_chains_chunked(
             key,
@@ -747,23 +802,30 @@ class ResponseNNGP:
         n_leapfrog: int = 32,
         target_accept: float = 0.8,
         init: Optional[dict] = None,
+        init_u=None,
+        init_inv_mass=None,
+        init_jitter: float = 1.0,
         jit: bool = True,
         **driver_kwargs,
     ):
         """Fixed-length (jittered) HMC over the joint posterior (host-chunked
-        like sample_nuts)."""
+        like sample_nuts; same ``fit_map`` warm-start options)."""
         from pynngp_tpu.models.base import run_chains_chunked
         from pynngp_tpu.samplers.hmc import make_hmc_kernel
 
         key = jax.random.PRNGKey(seed)
         vg = jax.value_and_grad(self.full_logpost)
         init_kernel, step_kernel = make_hmc_kernel(
-            vg, n_burn, n_leapfrog, target_accept
+            vg, n_burn, n_leapfrog, target_accept, init_inv_mass=init_inv_mass
         )
 
         def init_fn(k):
             k1, k2 = jax.random.split(k)
-            return init_kernel(k2, self._full_init_u(k1, init))
+            if init_u is not None:
+                u0 = self._warm_init_u(k1, init_u, init_inv_mass, init_jitter)
+            else:
+                u0 = self._full_init_u(k1, init)
+            return init_kernel(k2, u0)
 
         _, draws = run_chains_chunked(
             key,

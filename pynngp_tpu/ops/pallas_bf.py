@@ -39,7 +39,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from jax.scipy.special import gammaln
+# NOT jax.scipy.special.gammaln: Mosaic has no lgamma primitive, and this
+# symbol is evaluated INSIDE the fused kernels for general-nu Matern.  The
+# Lanczos implementation is built from add/div/log/exp only.
+from pynngp_tpu.bessel import gammaln
 
 from pynngp_tpu.kernels import Exponential, Matern, Spherical, SqExp
 from pynngp_tpu.vecchia import LOG_2PI, VecchiaData
@@ -124,15 +127,22 @@ jax.tree_util.register_pytree_node(
 
 
 def make_lane_cache(data: VecchiaData, dtype=jnp.float32,
-                    t_cell: int | None = None, dist_fn=None) -> LaneCache:
+                    t_cell: int | None = None, dist_fn=None,
+                    kernel=None) -> LaneCache:
     """Host-side relayout of the (hyperparameter-independent) caches.
 
     ``dist_fn`` is only consulted when the VecchiaData carries no
     precomputed distance tables (the recompute path must use the model's
-    metric — e.g. 'dotproduct' — not default Euclidean)."""
+    metric — e.g. 'dotproduct' — not default Euclidean).
+
+    ``kernel`` (optional) tunes the tile batching: the in-kernel Bessel
+    evaluation of general-nu Matern carries ~11 live loop vectors per
+    distance plane, so the value+gradient kernel at t_cell=8 blows the 16 MB
+    scoped-VMEM stack (measured 28.9 MB at m=10 on v5e).  Those kernels are
+    Bessel-compute-bound anyway — single-tile cells lose nothing."""
     n, m = data.nn_idx.shape
     if t_cell is None:
-        t_cell = _default_t_cell(m)
+        t_cell = 1 if (kernel is not None and _needs_nu(kernel)) else _default_t_cell(m)
     cell = TILE * t_cell
     n_pad = ((n + cell - 1) // cell) * cell
     s = n_pad // TILE
@@ -500,7 +510,13 @@ def _drho_nu_fn(kernel):
         return None
 
     def drho_nu(d, phi, nu):
-        h = jnp.asarray(5e-3, d.dtype)
+        # h balances fp32 Bessel-series noise (~1e-5 relative, correlated
+        # across the pair) against O(h^2) truncation: measured on v5e vs an
+        # fp64 oracle, h in [1e-2, 4e-2] keeps the aggregate d/dnu within a
+        # few percent while h=5e-3 drifts to ~6%.  The sampler stays exact
+        # regardless — the MH correction uses exact energies; gradient error
+        # only perturbs trajectory quality.
+        h = jnp.asarray(1e-2, d.dtype)
         lo = jnp.maximum(nu - h, 1e-3)
         return (_matern_rho_general(d, phi, nu + h)
                 - _matern_rho_general(d, phi, lo)) / (nu + h - lo)
@@ -767,9 +783,48 @@ def make_diff_suffstats(kernel, cache: LaneCache, jitter: float = 1e-6):
     NOTE: the y cotangent is NOT propagated (returns zeros) — valid when y
     is data (response model without sampled fixed effects through this
     path).  Callers that differentiate through y must use the XLA path.
+
+    Sampled-nu Matern kernels return ``suff(phi, alpha, y, nu)`` instead —
+    the same fused pass also emits the (dld_dnu, dq_dnu) reductions.
     """
     s = cache.s_tiles
     n, n_pad = cache.n, cache.n_pad
+
+    def _y4(y):
+        y_nbr4 = jnp.take(y, cache.nn_idx, axis=0)
+        y_own4 = jnp.pad(y, (0, n_pad - n)).reshape(s, _SUBLANES, _LANES)
+        return y_own4, y_nbr4
+
+    if _needs_nu(kernel):
+
+        @jax.custom_vjp
+        def suff_nu(phi, alpha, y, nu):
+            logdet, quad, _, _ = pallas_suffstats(
+                kernel, {"phi": phi, "nu": nu}, cache, y, alpha, jitter
+            )
+            return logdet, quad
+
+        def fwd_nu(phi, alpha, y, nu):
+            y_own4, y_nbr4 = _y4(y)
+            (logdet, quad, dld_dphi, dq_dphi, dld_da, dq_da,
+             dld_dnu, dq_dnu) = _run_grad(
+                kernel, cache, jnp.asarray(phi), jnp.asarray(alpha), y_own4,
+                y_nbr4, jitter, nu=jnp.asarray(nu),
+            )
+            return (logdet, quad), (
+                dld_dphi, dq_dphi, dld_da, dq_da, dld_dnu, dq_dnu, y
+            )
+
+        def bwd_nu(res, cotangents):
+            dld_dphi, dq_dphi, dld_da, dq_da, dld_dnu, dq_dnu, y = res
+            g_ld, g_q = cotangents
+            dphi = g_ld * dld_dphi + g_q * dq_dphi
+            dalpha = g_ld * dld_da + g_q * dq_da
+            dnu = g_ld * dld_dnu + g_q * dq_dnu
+            return dphi, dalpha, jnp.zeros_like(y), dnu
+
+        suff_nu.defvjp(fwd_nu, bwd_nu)
+        return suff_nu
 
     @jax.custom_vjp
     def suff(phi, alpha, y):
@@ -779,8 +834,7 @@ def make_diff_suffstats(kernel, cache: LaneCache, jitter: float = 1e-6):
         return logdet, quad
 
     def fwd(phi, alpha, y):
-        y_nbr4 = jnp.take(y, cache.nn_idx, axis=0)
-        y_own4 = jnp.pad(y, (0, n_pad - n)).reshape(s, _SUBLANES, _LANES)
+        y_own4, y_nbr4 = _y4(y)
         logdet, quad, dld_dphi, dq_dphi, dld_da, dq_da = _run_grad(
             kernel, cache, jnp.asarray(phi), jnp.asarray(alpha), y_own4,
             y_nbr4, jitter,

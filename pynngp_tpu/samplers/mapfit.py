@@ -79,17 +79,34 @@ def map_fit(
     )
 
 
-def laplace_variance(logpost_fn: Callable, u_map, rel_floor: float = 1e-8):
+def laplace_variance(
+    logpost_fn: Callable, u_map, rel_floor: float = 1e-8, fd_step: float = 1e-3
+):
     """Diagonal posterior variance from the Laplace approximation
     diag(H^{-1}) with H = -hessian(logpost) at the MAP.
 
-    The unconstrained dimension is tiny (3-5 hyperparameters + p fixed
-    effects), so the exact dense Hessian via forward-over-reverse is cheap —
-    k gradient passes.  Non-positive curvature directions (MAP not fully
-    converged, flat nu) fall back to a unit scale so the result is always a
-    valid mass matrix."""
+    The Hessian is a central finite difference of the (exact) gradient —
+    2k gradient passes for the tiny unconstrained dimension (3-5
+    hyperparameters + p fixed effects).  NOT ``jax.hessian``: the Pallas
+    backend's log-posterior is a ``custom_vjp`` function (analytic fused
+    VJP, ops/pallas_bf.py) and custom_vjp functions cannot be forward-mode
+    differentiated.  FD-of-gradient is exact for quadratic targets and
+    O(fd_step^2) otherwise — far below the Laplace approximation error
+    itself.  Non-positive curvature directions (MAP not fully converged,
+    flat nu) fall back to a unit scale so the result is always a valid mass
+    matrix."""
     u_map = jnp.asarray(u_map)
-    h = -jax.hessian(logpost_fn)(u_map)  # (k, k), positive definite at a MAP
+    k = u_map.shape[0]
+    grad_fn = jax.grad(logpost_fn)
+    step = jnp.asarray(fd_step, u_map.dtype)
+    eye = jnp.eye(k, dtype=u_map.dtype)
+
+    def col(_, e):
+        gc = (grad_fn(u_map + step * e) - grad_fn(u_map - step * e)) / (2.0 * step)
+        return None, gc
+
+    _, h_rows = lax.scan(col, None, eye)  # row i = d grad / d u_i
+    h = -0.5 * (h_rows + h_rows.T)  # symmetrized -hessian
     k = u_map.shape[0]
     # robust inverse: clamp eigenvalues away from zero
     evals, evecs = jnp.linalg.eigh(h)
