@@ -395,13 +395,45 @@ class LatentNNGP:
         w, _ = lax.scan(site, w, jnp.arange(self.n))
         return w
 
+    def _update_w_chromatic_sharded(self, key, w, b, f, sigma2, tau2, beta):
+        """Site-sharded exact chromatic sweep (parallel/sharded.py).  Same
+        hoisted per-site moments as the single-device sweep; each device
+        updates its round-robin partition of every color class and the
+        collision-free deltas psum over the 'sites' axis — same draws =>
+        same w, modulo reduction order."""
+        vd = self.data.vecchia
+        fprec = 1.0 / (sigma2 * f)
+        nvar = tau2 * self._noise_w
+        ytil = (self.data.y - self._mean(beta)) / nvar
+        cmask = self.child_mask.astype(w.dtype)
+        b_child = jnp.take_along_axis(
+            jnp.take(b, self.child_idx, axis=0), self.child_slot[..., None], axis=-1
+        )[..., 0] * cmask
+        fp_child = jnp.take(fprec, self.child_idx) * cmask
+        prec = 1.0 / nvar + fprec + jnp.sum(b_child * b_child * fp_child, axis=-1)
+        v = 1.0 / prec
+        sd = jnp.sqrt(v)
+        w_nbr = jnp.take(w, vd.nn_idx, axis=0) * vd.nn_mask.astype(w.dtype)
+        resid = w - jnp.sum(b * w_nbr, axis=-1)
+        eps = jax.random.normal(key, w.shape, w.dtype)
+        sh = self._sharded
+        with jax.named_scope("chromatic_w_sharded"):
+            return self._sh_chrom(
+                sh["csites"], sh["csmask"], w, resid, eps, b,
+                vd.nn_idx, vd.nn_mask, self.child_idx, b_child, fp_child,
+                v, sd, ytil, fprec,
+            )
+
     # ---- likelihood pieces --------------------------------------------
     def _suffstats(self, theta_u, w):
         nat = self._natural(theta_u)
         kp = {"phi": nat["phi"]}
         if self._sample_nu:
             kp["nu"] = nat["nu"]
-        if self.backend == "pallas":
+        if self.mesh is not None:
+            # the O(n m^3) build runs on site-sharded blocks (SPEC config 5)
+            b, f = self._sh_bf(kp, 0.0, self._sharded["data"])
+        elif self.backend == "pallas":
             from pynngp_tpu.ops import pallas_bf as _pb
 
             b, f = _pb.pallas_bf(
@@ -477,11 +509,12 @@ class LatentNNGP:
         vd = self.data.vecchia
 
         # 1. w | rest (reference updateW)
-        upd = (
-            self._update_w_chromatic
-            if self.w_update == "chromatic"
-            else self._update_w_sequential
-        )
+        if self.mesh is not None:
+            upd = self._update_w_chromatic_sharded
+        elif self.w_update == "chromatic":
+            upd = self._update_w_chromatic
+        else:
+            upd = self._update_w_sequential
         w = upd(k_w, state.w, state.b, state.f, state.sigma2, state.tau2, state.beta)
 
         # 2. sigma2 | w, theta (reference updateSigmaSq): quad of w under unit B/F

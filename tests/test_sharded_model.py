@@ -127,3 +127,92 @@ def test_mesh_fixed_effects_mwg_recovers_beta(field):
     draws = model.sample(n_samples=250, n_burn=250, seed=11)
     beta_hat = np.asarray(draws["beta"]).mean(axis=0)
     np.testing.assert_allclose(beta_hat, beta_true, atol=0.25)
+
+
+# ---- latent model mesh sharding (SPEC config 5; VERDICT round 2 item 3) ----
+
+def test_shard_color_tables_partition():
+    """Every color class is exactly partitioned across shards: disjoint,
+    complete, pad slots masked off."""
+    from pynngp_tpu.parallel import shard_color_tables
+
+    rng = np.random.default_rng(0)
+    colors = rng.integers(0, 5, size=137)
+    sites, mask = shard_color_tables(colors, 8)
+    assert sites.shape[0] == 8 and sites.shape[1] == 5
+    for c in range(5):
+        got = np.sort(sites[:, c][mask[:, c]])
+        want = np.sort(np.nonzero(colors == c)[0])
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.fixture(scope="module")
+def latent_pair(field):
+    from pynngp_tpu.models.latent import LatentNNGP
+
+    coords, w, y = field
+    mesh = make_mesh(1, 8)
+    kw = dict(kernel="exponential", m=8, dtype=jnp.float64)
+    return (
+        LatentNNGP(coords, y, **kw),
+        LatentNNGP(coords, y, mesh=mesh, **kw),
+    )
+
+
+def test_latent_sharded_chromatic_matches_single(latent_pair):
+    """Same draws => same w from the sharded and single-device chromatic
+    sweeps (modulo psum reduction order)."""
+    m_single, m_mesh = latent_pair
+    key = jax.random.PRNGKey(0)
+    s1 = m_single.init_state(key, {"phi": 0.3, "sigma2": 1.0, "tau2": 0.1})
+    kw = jax.random.PRNGKey(42)
+    args = (s1.w, s1.b, s1.f, s1.sigma2, s1.tau2, s1.beta)
+    w_single = m_single._update_w_chromatic(kw, *args)
+    w_shard = m_mesh._update_w_chromatic_sharded(kw, *args)
+    np.testing.assert_allclose(
+        np.asarray(w_shard), np.asarray(w_single), rtol=1e-10, atol=1e-12
+    )
+
+
+def test_latent_mesh_suffstats_matches_single(latent_pair):
+    """The site-sharded B/F build == the single-device build (fp64)."""
+    m_single, m_mesh = latent_pair
+    theta_u = m_single._unconstrained(0.3)
+    w = jnp.asarray(
+        np.random.default_rng(5).standard_normal(m_single.n), jnp.float64
+    )
+    b1, f1, ld1, q1 = m_single._suffstats(theta_u, w)
+    b2, f2, ld2, q2 = m_mesh._suffstats(theta_u, w)
+    np.testing.assert_allclose(float(ld2), float(ld1), rtol=1e-12)
+    np.testing.assert_allclose(float(q2), float(q1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), rtol=1e-11)
+
+
+def test_latent_mesh_step_matches_single(latent_pair):
+    """One full MWG step (w sweep + conjugate updates + theta Metropolis)
+    agrees across mesh/single to fp64 tolerance with the same key."""
+    m_single, m_mesh = latent_pair
+    key = jax.random.PRNGKey(3)
+    init = {"phi": 0.3, "sigma2": 1.0, "tau2": 0.1}
+    s1 = m_single.init_state(key, init)
+    s2 = m_mesh.init_state(key, init)
+    k = jax.random.PRNGKey(11)
+    n1 = m_single.step(k, s1)
+    n2 = m_mesh.step(k, s2)
+    np.testing.assert_allclose(np.asarray(n2.w), np.asarray(n1.w),
+                               rtol=1e-9, atol=1e-11)
+    for name in ("sigma2", "tau2", "value", "logdet", "quad_w"):
+        np.testing.assert_allclose(
+            float(getattr(n2, name)), float(getattr(n1, name)), rtol=1e-9
+        )
+
+
+def test_latent_mesh_sample_runs(latent_pair):
+    """Short end-to-end sharded latent run: finite draws, reasonable
+    posterior region (truth sigma2=1.0, phi=0.3, tau2=0.1)."""
+    _, m_mesh = latent_pair
+    draws = m_mesh.sample(n_samples=150, n_burn=150, seed=7, collect_w=True)
+    assert np.isfinite(draws["sigma2"]).all()
+    assert draws["w"].shape == (150, m_mesh.n)
+    assert 0.01 < float(np.mean(draws["tau2"])) < 0.5
