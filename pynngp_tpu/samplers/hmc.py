@@ -96,13 +96,34 @@ def welford_variance(w: Welford, regularize=True):
     return var
 
 
+def mass_velocity(inv_mass, r):
+    """M^-1 r.  ``inv_mass`` is either a (dim,) diagonal or a (dim, dim)
+    dense inverse metric (e.g. the Laplace posterior covariance — the dense
+    form is what lets NUTS move along the correlated (sigma2, phi) ridge of
+    smooth-kernel NNGP posteriors, where a diagonal metric mixes at
+    ESS ~ 1)."""
+    if inv_mass.ndim == 2:
+        return inv_mass @ r
+    return inv_mass * r
+
+
+def draw_momentum(key, inv_mass, dtype):
+    """r ~ N(0, M) for diagonal or dense inverse metric M^-1 = V: with
+    V = L L^T, r = L^-T xi has covariance L^-T L^-1 = V^-1 = M."""
+    xi = jax.random.normal(key, (inv_mass.shape[0],), dtype)
+    if inv_mass.ndim == 2:
+        lv = jnp.linalg.cholesky(inv_mass)
+        return jax.scipy.linalg.solve_triangular(lv.T, xi, lower=False)
+    return xi / jnp.sqrt(inv_mass)
+
+
 def leapfrog(value_and_grad_fn: Callable, z, r, grad, eps, inv_mass, n_steps):
     """n_steps of leapfrog; returns (z, r, grad, value) at the end."""
 
     def one(carry, _):
         z, r, grad = carry
         r_half = r + 0.5 * eps * grad
-        z_new = z + eps * inv_mass * r_half
+        z_new = z + eps * mass_velocity(inv_mass, r_half)
         value, grad_new = value_and_grad_fn(z_new)
         r_new = r_half + 0.5 * eps * grad_new
         return (z_new, r_new, grad_new), value
@@ -112,7 +133,7 @@ def leapfrog(value_and_grad_fn: Callable, z, r, grad, eps, inv_mass, n_steps):
 
 
 def _kinetic(r, inv_mass):
-    return 0.5 * jnp.sum(r * inv_mass * r)
+    return 0.5 * jnp.dot(r, mass_velocity(inv_mass, r))
 
 
 class HMCInfo(NamedTuple):
@@ -138,7 +159,7 @@ def hmc_step(
     With ``jitter_steps`` the trajectory length is uniformly jittered in
     [1, n_leapfrog] to avoid resonances (n_leapfrog static upper bound)."""
     k_mom, k_acc, k_len = jax.random.split(key, 3)
-    r0 = jax.random.normal(k_mom, z.shape, z.dtype) / jnp.sqrt(inv_mass)
+    r0 = draw_momentum(k_mom, inv_mass, z.dtype)
     energy0 = -value + _kinetic(r0, inv_mass)
 
     if jitter_steps:
@@ -150,7 +171,7 @@ def hmc_step(
         z, r, grad, value = carry
         do = i < n_run
         r_half = r + 0.5 * step_size * grad
-        z_new = z + step_size * inv_mass * r_half
+        z_new = z + step_size * mass_velocity(inv_mass, r_half)
         value_new, grad_new = value_and_grad_fn(z_new)
         r_new = r_half + 0.5 * step_size * grad_new
         out = (
@@ -211,6 +232,9 @@ def make_hmc_kernel(
     adapt_metric_np, reset_np = _warmup_schedule(max(n_burn, 1))
     adapt_metric = jnp.asarray(adapt_metric_np)
     reset_at = jnp.asarray(reset_np)
+    # a DENSE init metric (Laplace covariance) is frozen: Welford adaptation
+    # here is diagonal-only and would discard the off-diagonal structure
+    dense = init_inv_mass is not None and jnp.ndim(init_inv_mass) == 2
 
     def init_fn(key, z0):
         dtype = z0.dtype
@@ -250,9 +274,12 @@ def make_hmc_kernel(
             welford_update(state.wf, z), state.wf,
         )
         do_reset = warm & reset_at[i_clip]
-        inv_mass = jnp.where(
-            do_reset & (wf.count > 2), welford_variance(wf), state.inv_mass
-        )
+        if dense:
+            inv_mass = state.inv_mass
+        else:
+            inv_mass = jnp.where(
+                do_reset & (wf.count > 2), welford_variance(wf), state.inv_mass
+            )
         fresh_da = da_init(jnp.exp(da.log_step_avg))
         da = jax.tree.map(lambda f, o: jnp.where(do_reset, f, o), fresh_da, da)
         wf_fresh = welford_init(z.shape[0], z.dtype)
@@ -301,12 +328,12 @@ def find_reasonable_step_size(value_and_grad_fn, z, inv_mass, key, init=1.0, max
     """Stan's heuristic: double/halve until the one-step accept prob crosses
     0.5 (branchless fixed-iteration version)."""
     value0, grad0 = value_and_grad_fn(z)
-    r0 = jax.random.normal(key, z.shape, z.dtype) / jnp.sqrt(inv_mass)
+    r0 = draw_momentum(key, inv_mass, z.dtype)
     energy0 = -value0 + _kinetic(r0, inv_mass)
 
     def accept_prob(eps):
         r_half = r0 + 0.5 * eps * grad0
-        z1 = z + eps * inv_mass * r_half
+        z1 = z + eps * mass_velocity(inv_mass, r_half)
         v1, g1 = value_and_grad_fn(z1)
         r1 = r_half + 0.5 * eps * g1
         delta = energy0 - (-v1 + _kinetic(r1, inv_mass))

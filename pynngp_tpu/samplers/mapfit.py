@@ -22,13 +22,16 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 
-__all__ = ["MAPResult", "map_fit", "laplace_variance"]
+__all__ = ["MAPResult", "map_fit", "laplace_moments", "laplace_variance"]
 
 
 class MAPResult(NamedTuple):
     u: jax.Array  # (k,) MAP point, unconstrained coordinates
     value: jax.Array  # log-posterior at u
     laplace_var: jax.Array  # (k,) diagonal posterior variance estimate
+    laplace_cov: jax.Array  # (k, k) dense posterior covariance estimate —
+    # the NUTS dense metric (init_inv_mass); smooth-kernel NNGP posteriors
+    # sit on a correlated (sigma2, phi) ridge a diagonal metric cannot follow
     converged: jax.Array  # |grad|_inf below tolerance at the end
     trace: jax.Array  # (n_steps,) log-posterior trace
 
@@ -73,46 +76,68 @@ def map_fit(
     v_map = jnp.where(better, v_last, best_v)
     _, g_map = vg(u_map)
     converged = jnp.max(jnp.abs(g_map)) < grad_tol
-    var = laplace_variance(logpost_fn, u_map)
+    var, cov = laplace_moments(logpost_fn, u_map)
     return MAPResult(
-        u=u_map, value=v_map, laplace_var=var, converged=converged, trace=trace
+        u=u_map, value=v_map, laplace_var=var, laplace_cov=cov,
+        converged=converged, trace=trace,
     )
+
+
+def laplace_moments(
+    logpost_fn: Callable, u_map, rel_floor: float = 1e-8, fd_step: float = 1e-3
+):
+    """(diagonal variance, dense covariance) of the Laplace approximation
+    H^{-1} with H = -hessian(logpost) at the MAP.
+
+    The Hessian is a central finite difference of the (exact) gradient —
+    2k gradient passes per pass for the tiny unconstrained dimension (3-5
+    hyperparameters + p fixed effects).  NOT ``jax.hessian``: the Pallas
+    backend's log-posterior is a ``custom_vjp`` function (analytic fused
+    VJP, ops/pallas_bf.py) and custom_vjp functions cannot be forward-mode
+    differentiated.
+
+    TWO passes with posterior-scale-aware steps: at n=100k the fp32
+    gradient carries O(0.1-1) accumulation noise, and a fixed small step
+    amplifies it to O(noise/h) Hessian noise — measured to swamp the true
+    (sigma2, phi) curvatures (~10-40) and hand NUTS a garbage dense metric.
+    Pass 1 (h = fd_step) gets rough scales; pass 2 re-differences with
+    h_i = 0.5 sd_i, making the noise relative to H_ii ~ noise * sd_i (<10%)
+    at O(h^2/sd^2) = 25% truncation — accurate enough for a mass matrix.
+    Non-positive curvature directions (MAP not fully converged, flat nu)
+    fall back to a unit scale so the result is always a valid metric."""
+    u_map = jnp.asarray(u_map)
+    k = u_map.shape[0]
+    grad_fn = jax.grad(logpost_fn)
+    eye = jnp.eye(k, dtype=u_map.dtype)
+
+    def moments(steps):
+        def col(_, row):
+            e, h = row[:-1], row[-1]
+            gc = (grad_fn(u_map + h * e) - grad_fn(u_map - h * e)) / (2.0 * h)
+            return None, gc
+
+        rows = jnp.concatenate([eye, steps[:, None]], axis=1)
+        _, h_rows = lax.scan(col, None, rows)  # row i = d grad / d u_i
+        h = -0.5 * (h_rows + h_rows.T)  # symmetrized -hessian
+        # robust inverse: clamp eigenvalues away from zero
+        evals, evecs = jnp.linalg.eigh(h)
+        floor = jnp.maximum(jnp.max(jnp.abs(evals)) * rel_floor, 1e-30)
+        safe = jnp.maximum(evals, floor)
+        hinv = (evecs / safe[None, :]) @ evecs.T
+        var = jnp.diag(hinv)
+        bad = (jnp.min(evals) <= 0.0) | ~jnp.all(jnp.isfinite(var))
+        var = jnp.where(bad, jnp.ones((k,), u_map.dtype), var)
+        cov = jnp.where(bad, jnp.eye(k, dtype=u_map.dtype), hinv)
+        return var, cov
+
+    step0 = jnp.full((k,), jnp.asarray(fd_step, u_map.dtype))
+    var1, _ = moments(step0)
+    steps = jnp.clip(0.5 * jnp.sqrt(var1), fd_step, 1.0)
+    return moments(steps)
 
 
 def laplace_variance(
     logpost_fn: Callable, u_map, rel_floor: float = 1e-8, fd_step: float = 1e-3
 ):
-    """Diagonal posterior variance from the Laplace approximation
-    diag(H^{-1}) with H = -hessian(logpost) at the MAP.
-
-    The Hessian is a central finite difference of the (exact) gradient —
-    2k gradient passes for the tiny unconstrained dimension (3-5
-    hyperparameters + p fixed effects).  NOT ``jax.hessian``: the Pallas
-    backend's log-posterior is a ``custom_vjp`` function (analytic fused
-    VJP, ops/pallas_bf.py) and custom_vjp functions cannot be forward-mode
-    differentiated.  FD-of-gradient is exact for quadratic targets and
-    O(fd_step^2) otherwise — far below the Laplace approximation error
-    itself.  Non-positive curvature directions (MAP not fully converged,
-    flat nu) fall back to a unit scale so the result is always a valid mass
-    matrix."""
-    u_map = jnp.asarray(u_map)
-    k = u_map.shape[0]
-    grad_fn = jax.grad(logpost_fn)
-    step = jnp.asarray(fd_step, u_map.dtype)
-    eye = jnp.eye(k, dtype=u_map.dtype)
-
-    def col(_, e):
-        gc = (grad_fn(u_map + step * e) - grad_fn(u_map - step * e)) / (2.0 * step)
-        return None, gc
-
-    _, h_rows = lax.scan(col, None, eye)  # row i = d grad / d u_i
-    h = -0.5 * (h_rows + h_rows.T)  # symmetrized -hessian
-    k = u_map.shape[0]
-    # robust inverse: clamp eigenvalues away from zero
-    evals, evecs = jnp.linalg.eigh(h)
-    floor = jnp.maximum(jnp.max(jnp.abs(evals)) * rel_floor, 1e-30)
-    safe = jnp.maximum(evals, floor)
-    hinv = (evecs / safe[None, :]) @ evecs.T
-    var = jnp.diag(hinv)
-    bad = (jnp.min(evals) <= 0.0) | ~jnp.all(jnp.isfinite(var))
-    return jnp.where(bad, jnp.ones((k,), u_map.dtype), var)
+    """Diagonal of :func:`laplace_moments` (backward-compatible helper)."""
+    return laplace_moments(logpost_fn, u_map, rel_floor, fd_step)[0]

@@ -32,7 +32,9 @@ from jax import lax
 from pynngp_tpu.samplers.hmc import (
     da_init,
     da_update,
+    draw_momentum,
     find_reasonable_step_size,
+    mass_velocity,
     welford_init,
     welford_update,
     welford_variance,
@@ -52,12 +54,12 @@ class NUTSInfo(NamedTuple):
 
 
 def _kinetic(r, inv_mass):
-    return 0.5 * jnp.sum(r * inv_mass * r)
+    return 0.5 * jnp.dot(r, mass_velocity(inv_mass, r))
 
 
 def _is_turning(inv_mass, r_left, r_right, rho):
-    v_l = inv_mass * r_left
-    v_r = inv_mass * r_right
+    v_l = mass_velocity(inv_mass, r_left)
+    v_r = mass_velocity(inv_mass, r_right)
     return (jnp.dot(rho, v_l) <= 0.0) | (jnp.dot(rho, v_r) <= 0.0)
 
 
@@ -104,7 +106,7 @@ def _build_subtree(
         ckpt_rho = c["ckpt_rho"].at[slot].set(c["rho"])
         # one leapfrog step
         r_half = c["r"] + 0.5 * eps * c["g"]
-        z = c["z"] + eps * inv_mass * r_half
+        z = c["z"] + eps * mass_velocity(inv_mass, r_half)
         v, g = vg_fn(z)
         r = r_half + 0.5 * eps * g
         h = -v + _kinetic(r, inv_mass)
@@ -198,7 +200,7 @@ def nuts_step(key, z, value, grad, value_and_grad_fn, step_size, inv_mass, max_d
 def _nuts_step_impl(key, z, value, grad, value_and_grad_fn, step_size, inv_mass, max_depth):
     dtype = z.dtype
     k_mom, k_loop = jax.random.split(key)
-    r0 = jax.random.normal(k_mom, z.shape, dtype) / jnp.sqrt(inv_mass)
+    r0 = draw_momentum(k_mom, inv_mass, dtype)
     h0 = -value + _kinetic(r0, inv_mass)
 
     def cond(c):
@@ -336,6 +338,10 @@ def make_nuts_kernel(
     adapt_metric_np, reset_np = _warmup_schedule(max(n_burn, 1))
     adapt_metric = jnp.asarray(adapt_metric_np)
     reset_at = jnp.asarray(reset_np)
+    # DENSE init metric (a Laplace covariance): frozen through warmup — the
+    # Welford adaptation is diagonal-only and would throw away the
+    # off-diagonal ridge structure it was chosen for
+    dense = init_inv_mass is not None and jnp.ndim(init_inv_mass) == 2
 
     def init_fn(key, z0):
         dtype = z0.dtype
@@ -383,9 +389,12 @@ def make_nuts_kernel(
         )
         # window close: adopt metric, restart welford + dual averaging
         do_reset = warm & reset_at[i_clip]
-        inv_mass = jnp.where(
-            do_reset & (wf.count > 2), welford_variance(wf), state.inv_mass
-        )
+        if dense:
+            inv_mass = state.inv_mass
+        else:
+            inv_mass = jnp.where(
+                do_reset & (wf.count > 2), welford_variance(wf), state.inv_mass
+            )
         fresh_da = da_init(jnp.exp(da.log_step_avg))
         da = jax.tree.map(lambda f, o: jnp.where(do_reset, f, o), fresh_da, da)
         wf_fresh = welford_init(z.shape[0], z.dtype)

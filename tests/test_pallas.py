@@ -180,3 +180,49 @@ def test_model_backend_pallas_matches_xla(problem):
         float(mx.full_logpost(mx._full_init_u(k, init))),
         rtol=2e-5,
     )
+
+
+def test_y_grad_vjp_matches_xla(problem):
+    """y_grad=True: the fused VJP's y cotangent (the (I-B)^T D^-1 (I-B) y
+    scatter) matches XLA autodiff through the batched build — the path
+    fixed-effects NUTS rides (response.full_loglik with p>0)."""
+    data, y_ord, cache = problem
+    kern = kernels.SqExp()
+    suff = pb.make_diff_suffstats(kern, cache, jitter=0.0, y_grad=True)
+
+    def scalar_pallas(phi, alpha, y):
+        ld, q = suff(phi, alpha, y)
+        return 0.7 * ld + 1.3 * q
+
+    def scalar_xla(phi, alpha, y):
+        b, f = vecchia.vecchia_bf(kern, {"phi": phi}, data, alpha=alpha, jitter=0.0)
+        ld, q, _ = vecchia.vecchia_suffstats(b, f, y, data)
+        return 0.7 * ld + 1.3 * q
+
+    args = (jnp.float32(0.33), jnp.float32(0.12), y_ord)
+    gp = jax.grad(scalar_pallas, argnums=(0, 1, 2))(*args)
+    gx = jax.grad(scalar_xla, argnums=(0, 1, 2))(*args)
+    np.testing.assert_allclose(float(gp[0]), float(gx[0]), rtol=2e-4)
+    np.testing.assert_allclose(float(gp[1]), float(gx[1]), rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(gp[2]), np.asarray(gx[2]), rtol=2e-3, atol=2e-4
+    )
+
+
+def test_fixed_effects_full_logpost_pallas_matches_xla():
+    """Model-level: p>0 full_logpost value and gradient (incl. d/dbeta)
+    agree between the pallas and XLA backends."""
+    from pynngp_tpu.models.response import ResponseNNGP
+
+    rng = np.random.default_rng(12)
+    n = 600
+    coords = rng.uniform(size=(n, 2))
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    y = rng.standard_normal(n) + x @ np.array([1.0, -0.5])
+    mx = ResponseNNGP(coords, y, x=x, kernel="sqexp", m=6, backend="xla")
+    mp = ResponseNNGP(coords, y, x=x, kernel="sqexp", m=6, backend="pallas")
+    u = mx._full_init_u(jax.random.PRNGKey(0), {"phi": 0.3})
+    vx, gx = jax.value_and_grad(mx.full_logpost)(u)
+    vp, gp = jax.value_and_grad(mp.full_logpost)(u)
+    np.testing.assert_allclose(float(vp), float(vx), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=2e-3, atol=5e-3)
