@@ -38,6 +38,11 @@ REFERENCE_ESS_PER_SEC_ESTIMATE = 1.0
 def _configure_jax():
     import jax
 
+    # x64 ON so the f64-accumulated reductions in the likelihood are real
+    # (model arrays stay fp32; only the final sums run in f64 — without
+    # this the fp32 tree-sum noise at n=100k caps NUTS acceptance at
+    # ~e^-noise and dual averaging wedges at tiny step sizes)
+    jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pynngp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return jax

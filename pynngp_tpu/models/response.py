@@ -72,6 +72,7 @@ class ResponseNNGP:
         dtype=jnp.float32,
         jitter: float = 1e-6,
         joint_theta: bool = False,
+        collapsed: bool = True,
         precompute_distances: bool = True,
         backend: str = "auto",
         mesh=None,
@@ -86,6 +87,11 @@ class ResponseNNGP:
         self.dtype = dtype
         self.jitter = jitter
         self.joint_theta = joint_theta
+        # MWG theta block targets the sigma2-collapsed marginal by default
+        # (same joint posterior, radically better mixing on the
+        # (sigma2, phi) ridge — see _collapsed_value); collapsed=False
+        # restores the reference's sigma2-conditioned updateTheta target
+        self.collapsed = collapsed
         self.mesh = mesh
         self.noise = get_noise(noise)
         sd = prepare_spatial_data(
@@ -369,10 +375,48 @@ class ResponseNNGP:
     def _theta_logpost(self, theta_u, sigma2, beta):
         b, f, logdet, quad = self._suffstats(theta_u, beta)
         nat = self._natural(theta_u)
-        value = -0.5 * (logdet + quad / sigma2) + self._log_prior_theta(
-            theta_u, nat, sigma2
-        )
+        if self.collapsed:
+            value = self._collapsed_value(theta_u, nat, logdet, quad)
+        else:
+            value = -0.5 * (logdet + quad / sigma2) + self._log_prior_theta(
+                theta_u, nat, sigma2
+            )
         return value, {"b": b, "f": f, "logdet": logdet, "quad": quad}
+
+    def _collapsed_value(self, theta_u, nat, logdet, quad):
+        """Metropolis target with sigma2 integrated out analytically.
+
+        p(y, sigma2, phi, alpha) carries sigma2 only as
+        (sigma2)^{-(A+1)} exp(-B/sigma2) with A = a_s + a_t + n/2 and
+        B = b_s + b_t/alpha + quad/2, so the integral is Gamma(A) B^{-A}.
+        Sampling the theta block against this MARGINAL kills the
+        (sigma2, phi) ridge that makes the uncollapsed conditional scan mix
+        at ESS ~ 5 per 10^4 iterations on smooth kernels (infill
+        asymptotics: only a sigma2-phi combination is identified); the
+        conjugate sigma2 | theta draw afterwards is exact, so the joint
+        stationary distribution is unchanged (partially-collapsed Gibbs).
+        The reference's sampler cannot express this — its updateTheta
+        conditions on sigma2 (SURVEY.md section 3.2)."""
+        a_big = (
+            self.priors["sigma2"].a + self.priors["tau2"].a + 0.5 * self.n
+        )
+        b_big = (
+            self.priors["sigma2"].b
+            + self.priors["tau2"].b / nat["alpha"]
+            + 0.5 * quad
+        )
+        lp = (
+            self.priors["phi"].logpdf(nat["phi"])
+            + self._t_phi.log_jac(theta_u[0])
+            - (self.priors["tau2"].a + 1.0) * jnp.log(nat["alpha"])
+            + self._t_alpha.log_jac(theta_u[1])
+        )
+        if self._sample_nu:
+            lp += (
+                self.priors["nu"].logpdf(nat["nu"])
+                + self._t_nu.log_jac(theta_u[2])
+            )
+        return -0.5 * logdet - a_big * jnp.log(b_big) + lp
 
     def loglik(self, state: ResponseState):
         return -0.5 * (
@@ -397,9 +441,12 @@ class ResponseNNGP:
             beta = jnp.asarray(init["beta"], self.dtype)
         b, f, logdet, quad = self._suffstats(theta_u, beta)
         nat = self._natural(theta_u)
-        value = -0.5 * (logdet + quad / sigma2) + self._log_prior_theta(
-            theta_u, nat, sigma2
-        )
+        if self.collapsed:
+            value = self._collapsed_value(theta_u, nat, logdet, quad)
+        else:
+            value = -0.5 * (logdet + quad / sigma2) + self._log_prior_theta(
+                theta_u, nat, sigma2
+            )
         k = len(self.theta_names)
         return ResponseState(
             theta_u=theta_u,
@@ -465,9 +512,12 @@ class ResponseNNGP:
             quad = jnp.sum(resid_full * resid_full / aux["f"])
 
         # 4. refresh cached theta-block value for the new (sigma2, beta, quad)
-        value = -0.5 * (aux["logdet"] + quad / sigma2) + self._log_prior_theta(
-            theta_u, nat, sigma2
-        )
+        if self.collapsed:
+            value = self._collapsed_value(theta_u, nat, aux["logdet"], quad)
+        else:
+            value = -0.5 * (
+                aux["logdet"] + quad / sigma2
+            ) + self._log_prior_theta(theta_u, nat, sigma2)
 
         # 5. adaptation bookkeeping
         log_steps = adapt_log_step(state.log_steps, aprobs, state.iteration, n_adapt)

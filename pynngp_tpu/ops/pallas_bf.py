@@ -71,6 +71,11 @@ def pallas_supported(kernel) -> bool:
     except NotImplementedError:
         return False
 
+# Index-map literals must be concretely int32: under jax_enable_x64 a bare
+# Python 0 canonicalizes to int64 and Mosaic fails to legalize the index
+# map's func.return (x64 is enabled by drivers for f64-accumulated sums).
+_I0 = np.int32(0)
+
 _LANES = 128
 _SUBLANES = 8
 TILE = _LANES * _SUBLANES  # 1024 sites per (8, 128) tile
@@ -345,9 +350,9 @@ def _cell_specs(m, p, t):
     """(in_specs, out_block) shared by the kernels: per grid cell, all m (or
     packed-triangle) planes of t tiles."""
     plane = lambda np_: pl.BlockSpec(
-        (np_, t, _SUBLANES, _LANES), lambda i: (0, i, 0, 0)
+        (np_, t, _SUBLANES, _LANES), lambda i: (_I0, i, _I0, _I0)
     )
-    site = pl.BlockSpec((t, _SUBLANES, _LANES), lambda i: (i, 0, 0))
+    site = pl.BlockSpec((t, _SUBLANES, _LANES), lambda i: (i, _I0, _I0))
     return plane, site
 
 
@@ -393,9 +398,9 @@ def _pallas_suffstats_call(kern, cache, s, m, params, y_own4, y_nbr4,
     p = cache.d_tri.shape[0]
     plane, site = _cell_specs(m, p, t)
     cells = s // t
-    part = pl.BlockSpec((1, _SUBLANES, _LANES), lambda i: (i, 0, 0))
+    part = pl.BlockSpec((1, _SUBLANES, _LANES), lambda i: (i, _I0, _I0))
     in_specs = [
-        pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 5), lambda i: (_I0, _I0), memory_space=pltpu.SMEM),
         plane(m),
         plane(p),
         plane(m),
@@ -424,7 +429,12 @@ def _pallas_suffstats_call(kern, cache, s, m, params, y_own4, y_nbr4,
         ),
         interpret=_interpret(),
     )(*args)
-    return f4, resid4, jnp.sum(ld_parts), jnp.sum(quad_parts)
+    # f64-accumulated cross-cell reduction (see vecchia.vecchia_suffstats:
+    # fp32 tree-sum noise at n=100k wedges NUTS dual averaging); no-op
+    # without jax_enable_x64
+    ld = jnp.sum(ld_parts, dtype=jnp.float64).astype(ld_parts.dtype)
+    quad = jnp.sum(quad_parts, dtype=jnp.float64).astype(quad_parts.dtype)
+    return f4, resid4, ld, quad
 
 
 def pallas_suffstats(kernel, params, cache: LaneCache, y, alpha, jitter=1e-6,
@@ -711,9 +721,9 @@ def _run_grad(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4, jitter,
     )
     plane, site = _cell_specs(m, p, t)
     cells = s // t
-    part = pl.BlockSpec((1, _SUBLANES, _LANES), lambda i: (i, 0, 0))
+    part = pl.BlockSpec((1, _SUBLANES, _LANES), lambda i: (i, _I0, _I0))
     in_specs = [
-        pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 5), lambda i: (_I0, _I0), memory_space=pltpu.SMEM),
         plane(m),
         plane(p),
         plane(m),
@@ -731,7 +741,7 @@ def _run_grad(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4, jitter,
     ]
     if emit_y:
         out_specs += [
-            pl.BlockSpec((m, t, _SUBLANES, _LANES), lambda i: (0, i, 0, 0)),
+            pl.BlockSpec((m, t, _SUBLANES, _LANES), lambda i: (_I0, i, _I0, _I0)),
             site,
         ]
         out_shape += [
@@ -751,7 +761,11 @@ def _run_grad(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4, jitter,
         ),
         interpret=_interpret(),
     )(*args)
-    scalars = tuple(jnp.sum(o) for o in outs[:n_part])
+    # f64-accumulated reductions for the value AND every derivative sum
+    # (fp32 noise here feeds straight into the NUTS energy/gradient)
+    scalars = tuple(
+        jnp.sum(o, dtype=jnp.float64).astype(o.dtype) for o in outs[:n_part]
+    )
     if emit_y:
         return scalars + (outs[n_part], outs[n_part + 1])
     return scalars
@@ -823,7 +837,7 @@ def pallas_bf(kernel, params, cache: LaneCache, alpha, jitter=1e-6,
     kern = partial(_bf_kernel, m, rho, noise_v is not None)
     plane, site = _cell_specs(m, p, t)
     in_specs = [
-        pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 4), lambda i: (_I0, _I0), memory_space=pltpu.SMEM),
         plane(m),
         plane(p),
         plane(m),
@@ -838,7 +852,7 @@ def pallas_bf(kernel, params, cache: LaneCache, alpha, jitter=1e-6,
         grid=(s // t,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((m, t, _SUBLANES, _LANES), lambda i: (0, i, 0, 0)),
+            pl.BlockSpec((m, t, _SUBLANES, _LANES), lambda i: (_I0, i, _I0, _I0)),
             site,
         ],
         out_shape=[

@@ -342,6 +342,18 @@ def make_nuts_kernel(
     # Welford adaptation is diagonal-only and would throw away the
     # off-diagonal ridge structure it was chosen for
     dense = init_inv_mass is not None and jnp.ndim(init_inv_mass) == 2
+    # With the metric ~ the posterior covariance the step size is
+    # dimensionless (whitened-curvature units): any sane value is O(0.01-2).
+    # Clamp dual averaging there — at large n the fp32 likelihood noise
+    # floors the acceptance statistic at ~e^-noise across DECADES of step
+    # size, the accept-vs-step curve goes flat, and unclamped DA random-
+    # walks down to 1e-4 where every tree maxes out its depth (measured on
+    # v5e at n=100k).
+    _clamp = (
+        (lambda ls: jnp.clip(ls, jnp.log(0.01), jnp.log(2.0)))
+        if dense
+        else (lambda ls: ls)
+    )
 
     def init_fn(key, z0):
         dtype = z0.dtype
@@ -374,13 +386,19 @@ def make_nuts_kernel(
         warm = state.iteration < n_burn
         i_clip = jnp.clip(state.iteration, 0, max(n_burn, 1) - 1)
         step_size = jnp.where(
-            warm, jnp.exp(state.da.log_step), jnp.exp(state.da.log_step_avg)
+            warm,
+            jnp.exp(_clamp(state.da.log_step)),
+            jnp.exp(_clamp(state.da.log_step_avg)),
         )
         z, value, grad, info = nuts_step(
             key, state.z, state.value, state.grad, value_and_grad_fn,
             step_size, state.inv_mass, max_depth,
         )
         da_new = da_update(state.da, info.accept_prob, target=target_accept)
+        da_new = da_new._replace(
+            log_step=_clamp(da_new.log_step),
+            log_step_avg=_clamp(da_new.log_step_avg),
+        )
         da = jax.tree.map(lambda n, o: jnp.where(warm, n, o), da_new, state.da)
         wf = jax.tree.map(
             lambda n, o: jnp.where(warm & adapt_metric[i_clip], n, o),

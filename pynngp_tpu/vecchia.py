@@ -189,8 +189,14 @@ def vecchia_suffstats(b, f, y, data: VecchiaData):
     """
     y_nbr = jnp.take(y, data.nn_idx, axis=0) * data.nn_mask.astype(y.dtype)
     resid = y - jnp.sum(b * y_nbr, axis=-1)
-    logdet = jnp.sum(jnp.log(f))
-    quad = jnp.sum(resid * resid / f)
+    # f64-accumulated reductions (cast back so callers see the input dtype):
+    # at n=100k the fp32 tree-sum carries O(0.1-0.5) noise, which caps the
+    # NUTS acceptance statistic at ~e^-noise regardless of step size and
+    # wedges dual averaging at tiny steps (measured on v5e).  Under
+    # jax_enable_x64=False the dtype request is a no-op — enable x64 in the
+    # driving process (bench.py does) to get the accurate path.
+    logdet = jnp.sum(jnp.log(f), dtype=jnp.float64).astype(f.dtype)
+    quad = jnp.sum(resid * resid / f, dtype=jnp.float64).astype(f.dtype)
     return logdet, quad, resid
 
 
