@@ -62,7 +62,7 @@ def main():
     )
     p.add_argument("--chains", type=int, default=4)
     p.add_argument("--samples", type=int, default=400)
-    p.add_argument("--burn", type=int, default=200)
+    p.add_argument("--burn", type=int, default=300)
     p.add_argument("--map-steps", type=int, default=250)
     p.add_argument("--max-depth", type=int, default=6)
     p.add_argument(
@@ -70,8 +70,8 @@ def main():
         help="ess mode: which sampler to run; 'best' runs both and reports "
         "the higher converged ESS/sec",
     )
-    p.add_argument("--mwg-samples", type=int, default=3000)
-    p.add_argument("--mwg-burn", type=int, default=500)
+    p.add_argument("--mwg-samples", type=int, default=6000)
+    p.add_argument("--mwg-burn", type=int, default=1000)
     args = p.parse_args()
     if args.quick:
         args.n, args.calls = 10_000, 2
@@ -271,6 +271,7 @@ def bench_ess(args):
         draws = model.sample(
             args.mwg_samples, n_burn=args.mwg_burn, n_chains=args.chains,
             init=init,
+            proposal_cov=model.theta_proposal_cov(mp.laplace_cov),
         )
         dt = time.time() - t0
         min_ess, max_rhat = _chain_stats(draws, args.chains)

@@ -90,7 +90,10 @@ class LatentNNGP:
 
         from pynngp_tpu.distance import get_distance
 
-        assert w_update in ("chromatic", "sequential")
+        if w_update not in ("chromatic", "sequential"):
+            raise ValueError(
+                f"w_update must be 'chromatic' or 'sequential', got {w_update!r}"
+            )
         if mesh is not None and w_update == "sequential":
             raise ValueError(
                 "mesh sharding requires w_update='chromatic' (the sequential "

@@ -33,6 +33,7 @@ from pynngp_tpu.priors import InverseGamma, Uniform, log_transform, logit_transf
 from pynngp_tpu.samplers.mwg import (
     adapt_log_step,
     rw_joint,
+    rw_joint_corr,
     rw_sweep,
     sample_inverse_gamma,
 )
@@ -92,6 +93,7 @@ class ResponseNNGP:
         # (sigma2, phi) ridge — see _collapsed_value); collapsed=False
         # restores the reference's sigma2-conditioned updateTheta target
         self.collapsed = collapsed
+        self._prop_chol = None  # set via sample(proposal_cov=...)
         self.mesh = mesh
         self.noise = get_noise(noise)
         sd = prepare_spatial_data(
@@ -468,10 +470,18 @@ class ResponseNNGP:
         # 1. Metropolis block on (phi, alpha[, nu]) | sigma2, beta
         logpost = lambda u: self._theta_logpost(u, state.sigma2, state.beta)
         aux = {"b": state.b, "f": state.f, "logdet": state.logdet, "quad": state.quad}
-        sweep = rw_joint if self.joint_theta else rw_sweep
-        theta_u, value, aux, aprobs = sweep(
-            k_theta, state.theta_u, state.value, aux, logpost, state.log_steps
-        )
+        if self._prop_chol is not None:
+            # correlated joint proposal (ridge-shaped theta block)
+            theta_u, value, aux, aprobs = rw_joint_corr(
+                k_theta, state.theta_u, state.value, aux, logpost,
+                state.log_steps[0], self._prop_chol,
+            )
+        else:
+            sweep = rw_joint if self.joint_theta else rw_sweep
+            theta_u, value, aux, aprobs = sweep(
+                k_theta, state.theta_u, state.value, aux, logpost,
+                state.log_steps,
+            )
         nat = self._natural(theta_u)
 
         # 2. sigma2 | theta, beta: conjugate IG.  The IG(a_t, b_t) prior on
@@ -519,8 +529,11 @@ class ResponseNNGP:
                 aux["logdet"] + quad / sigma2
             ) + self._log_prior_theta(theta_u, nat, sigma2)
 
-        # 5. adaptation bookkeeping
-        log_steps = adapt_log_step(state.log_steps, aprobs, state.iteration, n_adapt)
+        # 5. adaptation bookkeeping (multivariate proposals target ~0.3)
+        target = 0.3 if self._prop_chol is not None else 0.44
+        log_steps = adapt_log_step(
+            state.log_steps, aprobs, state.iteration, n_adapt, target=target
+        )
         return ResponseState(
             theta_u=theta_u,
             sigma2=sigma2,
@@ -913,6 +926,20 @@ class ResponseNNGP:
             draws = jax.tree.map(lambda a: a[0], draws)
         return draws
 
+    def theta_proposal_cov(self, laplace_cov):
+        """Project the full-u Laplace covariance (u = [log sigma2, logit phi,
+        log tau2(, logit nu)], fit_map) onto the Metropolis theta block
+        (logit phi, log alpha(, logit nu)) — the correlated-proposal shape
+        for sample(proposal_cov=...)."""
+        c = np.asarray(laplace_cov)
+        k = len(self.theta_names)
+        t = np.zeros((k, c.shape[0]))
+        t[0, 1] = 1.0  # logit phi
+        t[1, 0], t[1, 2] = -1.0, 1.0  # log alpha = log tau2 - log sigma2
+        if self._sample_nu:
+            t[2, 3] = 1.0
+        return t @ c @ t.T
+
     def sample(
         self,
         n_samples: int,
@@ -921,14 +948,25 @@ class ResponseNNGP:
         n_chains: int = 1,
         seed: int = 0,
         init: Optional[dict] = None,
+        proposal_cov=None,
         jit: bool = True,
         **driver_kwargs,
     ):
         """Run the sampler; returns a dict of posterior draws with leading
         axes (n_chains, n_samples) (chain axis dropped when n_chains=1).
-        Host-chunked so device programs stay bounded."""
+        Host-chunked so device programs stay bounded.
+
+        ``proposal_cov``: optional (k, k) theta-block covariance (see
+        theta_proposal_cov) switching the Metropolis block to correlated
+        joint proposals — what mixes across the (phi, alpha) ridge at
+        large n."""
         from pynngp_tpu.models.base import run_chains_chunked
 
+        self._prop_chol = (
+            None if proposal_cov is None
+            else jnp.asarray(np.linalg.cholesky(np.asarray(proposal_cov)),
+                             self.dtype)
+        )
         key = jax.random.PRNGKey(seed)
         step = lambda k, s: self.step(k, s, n_adapt=n_burn)
         _, draws = run_chains_chunked(

@@ -98,6 +98,27 @@ def rw_joint(key, theta_u, value, aux, logpost_fn, log_steps):
     return theta_u, value, aux, jnp.full(theta_u.shape, aprob)
 
 
+def rw_joint_corr(key, theta_u, value, aux, logpost_fn, log_scale, chol_cov):
+    """Joint random-walk Metropolis with a CORRELATED proposal
+    prop = theta + exp(log_scale) * L eps, L = chol(proposal covariance).
+
+    This is what mixes across a ridge-shaped theta block (e.g. the
+    (phi, alpha) ridge that survives sigma2 collapsing at large n):
+    componentwise moves perpendicular to a ridge are rejected or tiny,
+    while L-shaped proposals walk along it.  The scalar exp(log_scale)
+    adapts (adapt_log_step on a 1-vector); the SHAPE comes from a Laplace
+    or pilot-run covariance."""
+    k_prop, k_acc = jax.random.split(key)
+    eps = jax.random.normal(k_prop, theta_u.shape, dtype=theta_u.dtype)
+    prop = theta_u + jnp.exp(log_scale) * (chol_cov @ eps)
+    prop_value, prop_aux = logpost_fn(prop)
+    accept, aprob = _mh_accept(k_acc, prop_value - value)
+    theta_u = jnp.where(accept, prop, theta_u)
+    value = jnp.where(accept, prop_value, value)
+    aux = jax.tree.map(lambda p, c: jnp.where(accept, p, c), prop_aux, aux)
+    return theta_u, value, aux, jnp.full(theta_u.shape, aprob)
+
+
 def adapt_log_step(log_steps, accept_probs, iteration, n_adapt, target=0.44):
     """Diminishing Robbins-Monro adaptation of RW step sizes during burn-in."""
     gamma = (iteration.astype(log_steps.dtype) + 1.0) ** -0.6

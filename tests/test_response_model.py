@@ -109,3 +109,34 @@ def test_matern_general_nu_samples(rng):
     draws = model.sample(n_samples=60, n_burn=60, seed=5)
     assert np.isfinite(draws["nu"]).all()
     assert (draws["nu"] > 0.1).all() and (draws["nu"] < 3.0).all()
+
+
+def test_collapsed_corr_proposals_match_nuts(rng):
+    """sigma2-collapsed theta block + correlated joint proposals
+    (sample(proposal_cov=...)) targets the same posterior as NUTS."""
+    import jax.numpy as jnp
+    from pynngp_tpu.gold.dense_gp import dense_cov
+
+    coords = rng.uniform(size=(300, 2))
+    c = dense_cov(coords, "exponential", 1.0, 0.3, 0.0)
+    w = np.linalg.cholesky(c + 1e-10 * np.eye(300)) @ rng.standard_normal(300)
+    y = w + np.sqrt(0.1) * rng.standard_normal(300)
+    model = ResponseNNGP(coords, y, kernel="exponential", m=8,
+                         dtype=jnp.float64)
+    mp = model.fit_map(n_steps=300)
+    d_m = model.sample(
+        4000, n_burn=1000, seed=1,
+        init={"phi": float(model._t_phi.forward(mp.u[1]))},
+        proposal_cov=model.theta_proposal_cov(mp.laplace_cov),
+    )
+    d_n = model.sample_nuts(2000, n_burn=800, seed=2)
+    from pynngp_tpu.diagnostics import ess
+
+    for k in ("phi", "sigma2", "tau2"):
+        a, b = np.asarray(d_m[k]), np.asarray(d_n[k])
+        ea, eb = ess(a[None]), ess(b[None])
+        assert ea > 100, (k, ea)
+        se = np.hypot(a.std() / np.sqrt(ea), b.std() / np.sqrt(eb))
+        assert abs(a.mean() - b.mean()) < 5 * se + 0.05 * abs(b.mean()), (
+            k, a.mean(), b.mean(), se
+        )
