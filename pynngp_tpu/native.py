@@ -25,7 +25,7 @@ import threading
 import numpy as np
 
 __all__ = ["get_lib", "native_available", "neighbor_table", "children_table",
-           "color_moral"]
+           "color_moral", "order_maxmin"]
 
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "cpp", "nngp_native.cpp")
@@ -119,6 +119,11 @@ def get_lib():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p,
         ]
         lib.nngp_color_moral.restype = ctypes.c_int32
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.nngp_order_maxmin.argtypes = [
+            f64p, ctypes.c_int32, ctypes.c_int32, i64p,
+        ]
+        lib.nngp_order_maxmin.restype = ctypes.c_int32
         _lib = lib
         return _lib
 
@@ -156,6 +161,21 @@ def children_table(nn_idx: np.ndarray, nn_mask: np.ndarray):
         child_mask.ctypes.data_as(ctypes.c_void_p),
     )
     return child_idx, child_slot, child_mask.astype(bool)
+
+
+def order_maxmin(coords: np.ndarray):
+    """Exact max-min ordering (d <= 3), or None when unsupported — caller
+    falls back to the python lazy-kd-tree path (neighbors.order_maxmin)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(coords, np.float64)
+    n, d = pts.shape
+    if d > 3:
+        return None
+    order = np.zeros(n, np.int64)
+    rc = lib.nngp_order_maxmin(pts, n, d, order)
+    return order if rc == 0 else None
 
 
 def color_moral(nn_idx, nn_mask, child_idx, child_slot, child_mask):

@@ -225,8 +225,11 @@ def make_hmc_kernel(
 ):
     """Build (init_fn(key, z0), step_fn(key, state)) for chunked drivers.
 
-    ``init_inv_mass``: optional (dim,) starting diagonal inverse metric
-    (see nuts.make_nuts_kernel)."""
+    ``init_inv_mass``: optional starting inverse metric — a (dim,) diagonal
+    that warmup's Welford windows refine, or a dense (dim, dim) matrix
+    (e.g. a Laplace covariance) which is FROZEN through warmup (the Welford
+    adaptation is diagonal-only and would discard the off-diagonal
+    structure).  See nuts.make_nuts_kernel."""
     from pynngp_tpu.samplers.nuts import _warmup_schedule
 
     adapt_metric_np, reset_np = _warmup_schedule(max(n_burn, 1))

@@ -330,9 +330,12 @@ def make_nuts_kernel(
     """Build (init_fn(key, z0), step_fn(key, state)) with Stan-style windowed
     warmup handled branchlessly inside step_fn (iteration < n_burn).
 
-    ``init_inv_mass``: optional (dim,) diagonal inverse metric to start from
-    (e.g. a Laplace posterior-variance estimate — samplers/mapfit.py);
-    warmup's Welford windows still refine it.  Starting at the posterior
+    ``init_inv_mass``: optional starting inverse metric.  A (dim,) diagonal
+    (e.g. a Laplace posterior-variance estimate — samplers/mapfit.py) is
+    refined by warmup's Welford windows; a dense (dim, dim) matrix (e.g. a
+    full Laplace covariance) is FROZEN through warmup — the Welford
+    adaptation is diagonal-only and would discard the off-diagonal ridge
+    structure the dense metric was chosen for.  Starting at the posterior
     scale instead of the unit metric is what makes short warmups converge at
     n=100k (BASELINE north-star config)."""
     adapt_metric_np, reset_np = _warmup_schedule(max(n_burn, 1))

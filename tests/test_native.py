@@ -83,3 +83,41 @@ def test_native_speed_smoke(rng):
     dt = time.time() - t0
     assert tab.nn_mask[20:].all()
     assert dt < 30.0, f"native neighbor build too slow: {dt:.1f}s"
+
+
+def test_native_maxmin_matches_dense_profile(rng):
+    from pynngp_tpu import native, neighbors
+    from tests.test_neighbors import _maxmin_profile
+
+    if not native.native_available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    coords = rng.uniform(size=(700, 2))
+    order = native.order_maxmin(coords)
+    assert sorted(order) == list(range(700))
+    dense = neighbors._order_maxmin_dense(coords)
+    np.testing.assert_allclose(
+        _maxmin_profile(coords, order)[1:],
+        _maxmin_profile(coords, dense)[1:],
+        rtol=1e-10,
+    )
+
+
+def test_native_maxmin_3d(rng):
+    from pynngp_tpu import native, neighbors
+    from tests.test_neighbors import _maxmin_profile
+
+    if not native.native_available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    coords = rng.uniform(size=(400, 3))
+    order = native.order_maxmin(coords)
+    assert sorted(order) == list(range(400))
+    dense = neighbors._order_maxmin_dense(coords)
+    np.testing.assert_allclose(
+        _maxmin_profile(coords, order)[1:],
+        _maxmin_profile(coords, dense)[1:],
+        rtol=1e-10,
+    )

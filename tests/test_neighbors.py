@@ -98,3 +98,42 @@ def test_dotproduct_metric_table(rng):
         want = set(np.argsort(d, kind="stable")[:k])
         got = set(tab.nn_idx[i][tab.nn_mask[i]])
         assert got == want
+
+
+def _maxmin_profile(coords, order):
+    """Sequence of max-min distances realized by an ordering."""
+    pts = coords[order]
+    out = np.empty(len(order))
+    out[0] = np.inf
+    mind = ((pts[1:] - pts[0]) ** 2).sum(axis=1)
+    for i in range(1, len(order)):
+        out[i] = np.sqrt(mind[i - 1])
+        if i + 1 < len(order):
+            d = ((pts[i + 1 :] - pts[i]) ** 2).sum(axis=1)
+            mind[i:] = np.minimum(mind[i:], d)
+    return out
+
+
+def test_maxmin_heap_matches_dense_profile(rng):
+    """The scalable lazy-heap path must realize the SAME max-min distance
+    profile as the O(n^2) dense sweep (the order itself is tie-ambiguous)."""
+    coords = rng.uniform(size=(600, 2))
+    dense = neighbors._order_maxmin_dense(coords)
+    heap = neighbors._order_maxmin_heap(coords, batch=64)
+    assert sorted(heap) == list(range(600))
+    p_dense = _maxmin_profile(coords, dense)
+    p_heap = _maxmin_profile(coords, heap)
+    np.testing.assert_allclose(p_heap[1:], p_dense[1:], rtol=1e-10)
+    # and the profile is non-increasing (the defining max-min property)
+    assert (np.diff(p_heap[1:]) <= 1e-12).all()
+
+
+def test_maxmin_large_n_fast(rng):
+    import time
+
+    coords = rng.uniform(size=(60_000, 2))
+    t0 = time.time()
+    order = neighbors.order_maxmin(coords)
+    dt = time.time() - t0
+    assert sorted(order) == list(range(60_000))
+    assert dt < 30.0, f"maxmin at n=60k took {dt:.1f}s"

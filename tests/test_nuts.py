@@ -65,8 +65,12 @@ def test_nuts_matches_mwg_on_nngp(rng):
         tol = 4 * se + 0.03 * abs(b.mean())
         assert abs(a.mean() - b.mean()) < tol, (name, a.mean(), b.mean(), se)
         assert 0.5 < a.std() / b.std() < 2.0, (name, a.std(), b.std())
-    # NUTS should mix far better on the correlated ridge
-    assert ess(nuts["sigma2"]) > 2 * ess(mwg["sigma2"][:800])
+    # Both samplers must mix adequately on the correlated ridge.  (A
+    # relative "NUTS beats MWG by 2x" claim is not a correctness property —
+    # round 3's collapsed-MWG improvement made MWG mix well enough to break
+    # it — so assert absolute ESS floors instead.)
+    assert ess(nuts["sigma2"]) > 50, ess(nuts["sigma2"])
+    assert ess(mwg["sigma2"]) > 50, ess(mwg["sigma2"])
 
 
 def test_nuts_matern_gradients(rng):
