@@ -166,6 +166,10 @@ def run_chains_chunked(
 
     from pynngp_tpu.utils.metrics import MetricsLogger
 
+    # multi-host: every process runs this driver; persistence is per-process
+    # (addressable shards only) and draw collection pulls only local data
+    proc = jax.process_index() if jax.process_count() > 1 else None
+
     if metrics is True:
         metrics = MetricsLogger()
     elif isinstance(metrics, (str, os.PathLike)):
@@ -196,18 +200,23 @@ def run_chains_chunked(
 
     states = jit_bound(jax.vmap(init_fn))(init_keys)
 
+    _suffix = "" if proc is None else f".p{proc}"
     resume_burn, resume_draws, prior_blocks = 0, 0, []
-    if checkpoint_path and os.path.exists(checkpoint_path + ".npz"):
+    if checkpoint_path and os.path.exists(
+        checkpoint_path + _suffix + ".npz"
+    ):
         import json
 
         from pynngp_tpu.utils.checkpoint import load_state
 
-        with open(checkpoint_path + ".json") as fh:
+        with open(checkpoint_path + _suffix + ".json") as fh:
             meta = json.load(fh).get("extra", {})
-        states = load_state(checkpoint_path, states, config=config)
+        states = load_state(
+            checkpoint_path, states, config=config, process_index=proc
+        )
         resume_burn = int(meta.get("burn_done", 0))
         resume_draws = int(meta.get("draws_done", 0))
-        draws_file = checkpoint_path + ".draws.npz"
+        draws_file = checkpoint_path + _suffix + ".draws.npz"
         if resume_draws and os.path.exists(draws_file):
             z = np.load(draws_file, allow_pickle=True)
             prior_blocks = [
@@ -226,7 +235,7 @@ def run_chains_chunked(
         save_state(
             checkpoint_path, states_box[0],
             extra={"burn_done": int(burn_done), "draws_done": int(draws_done)},
-            config=config,
+            config=config, process_index=proc,
         )
         if config is not None:
             import dataclasses
@@ -243,7 +252,7 @@ def run_chains_chunked(
             merged = jax.tree.map(
                 lambda *xs: np.concatenate(xs, axis=0), *collected
             )
-            np.savez(checkpoint_path + ".draws.npz", **merged)
+            np.savez(checkpoint_path + _suffix + ".draws.npz", **merged)
 
     states_box = [states]
 
@@ -317,7 +326,11 @@ def run_chains_chunked(
             states, jnp.asarray(burn_total + got * thin, jnp.int32)
         )
         states_box[0] = states
-        collected.append(jax.tree.map(np.asarray, block))
+        # multi-host: pull only this process's addressable chain shards
+        # (np.asarray on a non-fully-addressable array would raise)
+        from pynngp_tpu.utils.checkpoint import host_local_array
+
+        collected.append(jax.tree.map(host_local_array, block))
         got += chunk_draws
         chunks_since_ckpt += 1
         if checkpoint_every and chunks_since_ckpt >= checkpoint_every:

@@ -151,7 +151,8 @@ class LatentNNGP:
         vd = sd.vecchia
         if backend == "pallas":
             lane_cache = _pb.make_lane_cache(
-                vd, dtype, dist_fn=self.dist_fn, kernel=self.kernel
+                vd, dtype, dist_fn=self.dist_fn, kernel=self.kernel,
+                coords_host=np.asarray(coords)[sd.table.order],
             )
             vd = vd._replace(nn_dist=None, nn_cross_dist=None)
         elif vd.nn_dist is not None:

@@ -95,6 +95,43 @@ class ResponseNNGP:
         self.collapsed = collapsed
         self.mesh = mesh
         self.noise = get_noise(noise)
+
+        # --- compute backend: fused Pallas kernels when the covariance
+        # kernel supports them (SURVEY.md sec 7 step 7), else batched XLA ---
+        from pynngp_tpu.distance import Euclidean as _Euclidean
+        from pynngp_tpu.ops import pallas_bf as _pb
+
+        if backend == "auto":
+            # fused kernels pay off on real TPU; off-TPU they would run in
+            # interpreter mode (slow) so auto picks XLA there
+            import jax as _jax
+
+            on_tpu = _jax.default_backend() == "tpu"
+            backend = (
+                "pallas" if on_tpu and _pb.pallas_supported(self.kernel) else "xla"
+            )
+        if backend == "pallas" and not _pb.pallas_supported(self.kernel):
+            raise ValueError(f"pallas backend does not support {self.kernel!r}")
+        # mesh + fixed effects needs the XLA sharded B/F build (the fused
+        # sharded path does not propagate the y cotangent yet), so it runs
+        # on the XLA sharded machinery end-to-end
+        self._p_arg = 0 if x is None else np.asarray(x).shape[1]
+        if mesh is not None and backend == "pallas" and self._p_arg > 0:
+            backend = "xla"
+        self.backend = backend
+        # mesh + pallas: the fused kernels run per-shard under shard_map
+        # with psum'd reductions (VERDICT r3 missing 2) — the XLA sharded
+        # tables are never built in that mode
+        self._mesh_fused = mesh is not None and backend == "pallas"
+        # coords lane layout (Euclidean): distances recompute in-kernel, so
+        # the (n, m, m) host distance precompute + its relayout/transfer are
+        # pure setup waste — skip them
+        _coords_layout = backend == "pallas" and isinstance(
+            self.dist_fn, _Euclidean
+        )
+        if _coords_layout:
+            precompute_distances = False
+
         sd = prepare_spatial_data(
             coords,
             y,
@@ -116,29 +153,17 @@ class ResponseNNGP:
             v = np.asarray(self.noise.v)[sd.table.order]
             noise_w = jnp.asarray(v, dtype)
 
-        # --- compute backend: fused Pallas kernels when the covariance
-        # kernel supports them (SURVEY.md sec 7 step 7), else batched XLA ---
-        from pynngp_tpu.ops import pallas_bf as _pb
-
-        if backend == "auto":
-            # fused kernels pay off on real TPU; off-TPU they would run in
-            # interpreter mode (slow) so auto picks XLA there
-            import jax as _jax
-
-            on_tpu = _jax.default_backend() == "tpu"
-            backend = (
-                "pallas" if on_tpu and _pb.pallas_supported(self.kernel) else "xla"
-            )
-        if backend == "pallas" and not _pb.pallas_supported(self.kernel):
-            raise ValueError(f"pallas backend does not support {self.kernel!r}")
-        self.backend = backend
-
         lane_cache = None
         vd = sd.vecchia
         if backend == "pallas":
             lane_cache = _pb.make_lane_cache(
-                vd, dtype, dist_fn=self.dist_fn, kernel=self.kernel
+                vd, dtype, dist_fn=self.dist_fn, kernel=self.kernel,
+                layout="coords" if _coords_layout else "dist",
+                shards=mesh.shape["sites"] if mesh is not None else 1,
+                coords_host=np.asarray(coords)[sd.table.order],
             )
+            if mesh is not None:
+                lane_cache = _pb.shard_lane_cache(lane_cache, mesh)
             # host-side distance caches are folded into the lane cache; drop
             # them from the traced bundle (they would transfer per call).
             # p>0 no longer needs the XLA tables: the fused VJP propagates
@@ -156,9 +181,12 @@ class ResponseNNGP:
 
         # --- multi-device: site-sharded likelihood over a (chains, sites)
         # mesh (SURVEY.md sec 5.8).  Overrides the single-device backends for
-        # the log-lik; chains additionally shard over the 'chains' axis.  ---
+        # the log-lik; chains additionally shard over the 'chains' axis.
+        # With the fused backend the shard_map-wrapped Pallas kernels serve
+        # the mesh directly (self._mesh_fused) and none of the XLA sharded
+        # tables are materialized.  ---
         sharded = None
-        if mesh is not None:
+        if mesh is not None and not self._mesh_fused:
             from pynngp_tpu.parallel import make_sharded_loglik, shard_vecchia_data
 
             sh_data, sh_y_own, sh_y_full, sh_valid = shard_vecchia_data(
@@ -251,13 +279,22 @@ class ResponseNNGP:
         cache enters through the DataRef (not a baked closure).  Sampled-nu
         Matern threads nu through the value+gradient kernel; ``y_grad``
         propagates the residual cotangent (fixed-effects models);
-        heterogeneous noise rides as per-site weight planes."""
+        heterogeneous noise rides as per-site weight planes.  On a mesh the
+        shard_map-wrapped fused kernels run per-shard with psum'd
+        reductions."""
         from pynngp_tpu.ops import pallas_bf as _pb
 
-        suff = _pb.make_diff_suffstats(
-            self.kernel, self._lane_cache, self.jitter, y_grad=y_grad,
-            noise_v=self._noise_w if self._hetero else None,
-        )
+        noise_v = self._noise_w if self._hetero else None
+        if self._mesh_fused:
+            suff = _pb.make_sharded_diff_suffstats(
+                self.kernel, self._lane_cache, self.mesh, self.jitter,
+                noise_v=noise_v,
+            )
+        else:
+            suff = _pb.make_diff_suffstats(
+                self.kernel, self._lane_cache, self.jitter, y_grad=y_grad,
+                noise_v=noise_v,
+            )
         if nu is not None:
             return suff(phi, alpha, y, nu)
         return suff(phi, alpha, y)
@@ -323,6 +360,15 @@ class ResponseNNGP:
     def _suffstats(self, theta_u, beta):
         nat = self._natural(theta_u)
         resid_y = self.data.y if self.p == 0 else self.data.y - self.data.x @ beta
+        if self._mesh_fused:
+            # mesh + fused: per-shard Pallas kernels, psum'd reductions
+            logdet, quad = self._diff_suff(
+                nat["phi"], nat["alpha"], resid_y,
+                nu=nat.get("nu") if self._sample_nu else None,
+            )
+            dummy_b = jnp.zeros((1, 1), self.dtype)
+            dummy_f = jnp.ones((1,), self.dtype)
+            return dummy_b, dummy_f, logdet, quad
         if self.mesh is not None:
             sh = self._sharded
             vargs = (sh["v_own"], sh["v_full"]) if self._hetero else ()
@@ -590,6 +636,14 @@ class ResponseNNGP:
         kp = {"phi": phi}
         if self._sample_nu:
             kp["nu"] = nat["nu"]
+        if self._mesh_fused:
+            logdet, quad = self._diff_suff(
+                phi, alpha, self.data.y,
+                nu=nat.get("nu") if self._sample_nu else None,
+            )
+            return -0.5 * (
+                self.n * (LOG_2PI + jnp.log(sigma2)) + logdet + quad / sigma2
+            )
         if self.mesh is not None:
             sh = self._sharded
             vargs = (sh["v_own"], sh["v_full"]) if self._hetero else ()

@@ -54,6 +54,8 @@ __all__ = [
     "pallas_loglik",
     "pallas_bf",
     "make_diff_suffstats",
+    "make_sharded_diff_suffstats",
+    "shard_lane_cache",
     "pallas_supported",
 ]
 
@@ -86,10 +88,13 @@ def _tri(i: int, k: int) -> int:
     return i * (i - 1) // 2 + k
 
 
-def _default_t_cell(m: int) -> int:
+def _default_t_cell(m: int, layout: str = "dist", d_dim: int = 2) -> int:
     """Tiles per grid cell: as many as fit a ~4 MB input block (double-
     buffered comfortably inside ~16 MB VMEM), in {1, 2, 4, 8}."""
-    floats_per_tile = (m * (m - 1) // 2 + 4 * m + 2) * TILE
+    if layout == "coords":
+        floats_per_tile = ((m + 1) * d_dim + 3 * m + 2) * TILE
+    else:
+        floats_per_tile = (m * (m - 1) // 2 + 4 * m + 2) * TILE
     budget = int(4e6 // (4 * floats_per_tile))
     for t in (8, 4, 2, 1):
         if t <= max(budget, 1):
@@ -105,35 +110,66 @@ class LaneCache(NamedTuple):
     an ARGUMENT.  This matters beyond convenience: closing over the tables
     bakes them into the serialized program, which remote-compile services
     reject past ~100 MB (HTTP 413 at n=500k, m=20).
+
+    Two layouts (``layout`` aux field):
+
+    - ``"dist"``: ``tab_a`` holds the m site->neighbor distance planes,
+      ``tab_b`` the m(m-1)/2 packed-triangle neighbor-pair distance planes.
+      Works for any metric; streams (m^2/2 + m) distance floats per site.
+    - ``"coords"`` (Euclidean only): ``tab_a`` holds the d own-coordinate
+      planes, ``tab_b`` the m*d neighbor-coordinate planes; every distance
+      is recomputed in-kernel from coords.  Streams (m+1)*d floats per
+      site — a ~3.4x HBM-traffic cut at m=15, d=2, which is what the
+      memory-bound kernel's throughput scales with.
+
+    Neighbor-slot validity is NOT streamed in either layout: orderings
+    give site i exactly min(i, m) preceding neighbors packed in the low
+    slots, so the kernels derive slot masks from the global site iota
+    (mask[i] = site_index > i) at zero HBM cost.
     """
 
-    d_in: jax.Array  # (m, S, 8, 128)  site->neighbor distances
-    d_tri: jax.Array  # (max(m(m-1)/2, 1), S, 8, 128) packed neighbor pairs
-    mask: jax.Array  # (m, S, 8, 128) float32 validity
+    tab_a: jax.Array  # see layout docstring
+    tab_b: jax.Array  # see layout docstring
     nn_idx: jax.Array  # (m, S, 8, 128) int32 neighbor ids (global)
     n: int  # true site count
     n_pad: int  # padded site count = S * 1024
     t_cell: int  # tiles per Pallas grid cell (S % t_cell == 0)
+    layout: str = "dist"
 
     @property
     def m(self):
-        return self.d_in.shape[0]
+        return self.nn_idx.shape[0]
+
+    @property
+    def d_dim(self):
+        """Coordinate dimension (coords layout only)."""
+        return self.tab_a.shape[0]
 
     @property
     def s_tiles(self):
-        return self.d_in.shape[1]
+        return self.nn_idx.shape[1]
+
+    # legacy aliases (dist layout): the distance planes
+    @property
+    def d_in(self):
+        return self.tab_a
+
+    @property
+    def d_tri(self):
+        return self.tab_b
 
 
 jax.tree_util.register_pytree_node(
     LaneCache,
-    lambda c: ((c.d_in, c.d_tri, c.mask, c.nn_idx), (c.n, c.n_pad, c.t_cell)),
+    lambda c: ((c.tab_a, c.tab_b, c.nn_idx), (c.n, c.n_pad, c.t_cell, c.layout)),
     lambda aux, ch: LaneCache(*ch, *aux),
 )
 
 
 def make_lane_cache(data: VecchiaData, dtype=jnp.float32,
                     t_cell: int | None = None, dist_fn=None,
-                    kernel=None) -> LaneCache:
+                    kernel=None, layout: str = "auto",
+                    shards: int = 1, coords_host=None) -> LaneCache:
     """Host-side relayout of the (hyperparameter-independent) caches.
 
     ``dist_fn`` is only consulted when the VecchiaData carries no
@@ -144,20 +180,71 @@ def make_lane_cache(data: VecchiaData, dtype=jnp.float32,
     evaluation of general-nu Matern carries ~11 live loop vectors per
     distance plane, so the value+gradient kernel at t_cell=8 blows the 16 MB
     scoped-VMEM stack (measured 28.9 MB at m=10 on v5e).  Those kernels are
-    Bessel-compute-bound anyway — single-tile cells lose nothing."""
+    Bessel-compute-bound anyway — single-tile cells lose nothing.
+
+    ``layout``: "coords" (Euclidean only — in-kernel distances, ~3.4x less
+    HBM traffic at m=15/d=2), "dist" (any metric), or "auto" (coords when
+    the metric is Euclidean — dist_fn None counts as Euclidean ONLY if no
+    precomputed tables are present, since tables may carry another metric).
+
+    ``shards``: pad the tile axis S to a multiple of t_cell * shards so the
+    cache S axis divides evenly across a device mesh's 'sites' axis.
+
+    ``coords_host``: optional (n, d) float64 ORDERED coordinates for the
+    coords layout.  Pass these when available (the models do): the
+    VecchiaData device coords are already float32, so UTM-style coordinate
+    offsets (~1e6) are quantized to ~0.25 before the centering below can
+    save them.
+    """
+    from pynngp_tpu.distance import Euclidean as _Euc
+
     n, m = data.nn_idx.shape
+    if layout == "auto":
+        is_euc = isinstance(dist_fn, _Euc) or (
+            dist_fn is None and data.nn_dist is None
+        )
+        layout = "coords" if is_euc else "dist"
+    if layout == "coords" and not (dist_fn is None or isinstance(dist_fn, _Euc)):
+        raise ValueError("coords layout requires the Euclidean metric")
     if t_cell is None:
-        t_cell = 1 if (kernel is not None and _needs_nu(kernel)) else _default_t_cell(m)
-    cell = TILE * t_cell
+        t_cell = (
+            1 if (kernel is not None and _needs_nu(kernel))
+            else _default_t_cell(m, layout, int(np.asarray(data.coords).shape[1]))
+        )
+    cell = TILE * t_cell * max(int(shards), 1)
     n_pad = ((n + cell - 1) // cell) * cell
     s = n_pad // TILE
-    p = max(m * (m - 1) // 2, 1)
 
+    nn_idx = np.zeros((m, n_pad), np.int32)
+    nn_idx[:, :n] = np.asarray(data.nn_idx, np.int32).T
+
+    def shape4(a):
+        return a.reshape(*a.shape[:-1], s, _SUBLANES, _LANES)
+
+    if layout == "coords":
+        pts = np.asarray(
+            data.coords if coords_host is None else coords_host, np.float64
+        )  # (n, d) ordered
+        # center: distances are translation-invariant, and f32 coord planes
+        # with a large offset (UTM-style ~1e6) would otherwise lose ~eps*|x|
+        # of absolute distance precision to cancellation
+        pts = pts - pts.mean(axis=0, keepdims=True)
+        d_dim = pts.shape[1]
+        co = np.zeros((d_dim, n_pad), np.float32)
+        cn = np.zeros((m * d_dim, n_pad), np.float32)
+        co[:, :n] = pts.T
+        nbr = pts[np.asarray(data.nn_idx)]  # (n, m, d)
+        cn[:, :n] = nbr.reshape(n, m * d_dim).T
+        return LaneCache(
+            tab_a=jnp.asarray(shape4(co), dtype),
+            tab_b=jnp.asarray(shape4(cn), dtype),
+            nn_idx=jnp.asarray(shape4(nn_idx)),
+            n=n, n_pad=n_pad, t_cell=t_cell, layout="coords",
+        )
+
+    p = max(m * (m - 1) // 2, 1)
     d_in = np.zeros((m, n_pad), np.float32)
     d_tri = np.zeros((p, n_pad), np.float32)
-    mask = np.zeros((m, n_pad), np.float32)
-    nn_idx = np.zeros((m, n_pad), np.int32)
-
     if data.nn_dist is None or data.nn_cross_dist is None:
         from pynngp_tpu.vecchia import neighbor_distances
 
@@ -172,20 +259,14 @@ def make_lane_cache(data: VecchiaData, dtype=jnp.float32,
         iu = np.repeat(np.arange(1, m), np.arange(1, m))
         ku = np.concatenate([np.arange(i) for i in range(1, m)])
         d_tri[:, :n] = dnn_nmm[:, iu, ku].T
-    mask[:, :n] = np.asarray(data.nn_mask, np.float32).T
-    nn_idx[:, :n] = np.asarray(data.nn_idx, np.int32).T
-
-    def shape4(a):
-        return a.reshape(*a.shape[:-1], s, _SUBLANES, _LANES)
-
     return LaneCache(
-        d_in=jnp.asarray(shape4(d_in), dtype),
-        d_tri=jnp.asarray(shape4(d_tri), dtype),
-        mask=jnp.asarray(shape4(mask), dtype),
+        tab_a=jnp.asarray(shape4(d_in), dtype),
+        tab_b=jnp.asarray(shape4(d_tri), dtype),
         nn_idx=jnp.asarray(shape4(nn_idx)),
         n=n,
         n_pad=n_pad,
         t_cell=t_cell,
+        layout="dist",
     )
 
 
@@ -259,21 +340,60 @@ def _kernel_nu(kernel, params=None):
     return 0.0
 
 
-def _site_valid(t_cell, n_f32, dtype):
-    """In-kernel site-validity plane for the current grid cell: global site
-    index < n, computed from iota + program_id (zero HBM traffic).  n rides
-    the SMEM params as float32 (exact for n < 2^24)."""
+def _site_idx(t_cell, off_f32):
+    """In-kernel GLOBAL site index plane for the current grid cell, computed
+    from iota + program_id + shard offset (zero HBM traffic).  ``off`` (the
+    shard's first site) rides the SMEM params as float32 — exact < 2^24."""
     shape = (t_cell, _SUBLANES, _LANES)
-    base = pl.program_id(0) * (t_cell * TILE)
+    base = pl.program_id(0) * (t_cell * TILE) + off_f32.astype(jnp.int32)
     tile = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     sub = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-    idx = base + tile * TILE + sub * _LANES + lane
-    return (idx < n_f32.astype(jnp.int32)).astype(dtype)
+    return base + tile * TILE + sub * _LANES + lane
 
 
-def _suffstats_kernel(m, rho, hetero, t_cell, params_ref, d_in_ref, d_tri_ref,
-                      mask_ref, ynbr_ref, yown_ref, *rest):
+def _slot_masks(site_idx, m, dtype):
+    """Neighbor-slot validity from the site iota alone: every ordering
+    packs site i's min(i, m) preceding neighbors into the low slots, so
+    slot k is valid iff the global site index exceeds k.  Replaces m
+    streamed mask planes with zero HBM traffic."""
+    return [(site_idx > k).astype(dtype) for k in range(m)]
+
+
+def _dist_access(layout, m, d_dim, tab_a_ref, tab_b_ref):
+    """(din(i), dtri(i, k)) accessors over the two table refs.
+
+    dist layout: direct plane reads.  coords layout: recompute Euclidean
+    distances from the own/neighbor coordinate planes — (m+1)*d streamed
+    floats per site instead of (m^2/2 + m), trading cheap VPU flops for
+    the HBM traffic that bounds this kernel."""
+    if layout == "dist":
+        return (lambda i: tab_a_ref[i]), (lambda i, k: tab_b_ref[_tri(i, k)])
+
+    # Lazy ref reads (NOT hoisted into python lists): pre-loading all m*d
+    # neighbor-coord vectors keeps them live across the whole kernel and
+    # blew the 16 MB scoped-VMEM stack by ~0.6 MB in the gradient kernel at
+    # m=15, t_cell=8 (measured on v5e); per-use loads let Mosaic schedule
+    # the reads against the input window instead.
+    def din(i):
+        acc = None
+        for a in range(d_dim):
+            diff = tab_a_ref[a] - tab_b_ref[i * d_dim + a]
+            acc = diff * diff if acc is None else acc + diff * diff
+        return jnp.sqrt(acc)
+
+    def dtri(i, k):
+        acc = None
+        for a in range(d_dim):
+            diff = tab_b_ref[i * d_dim + a] - tab_b_ref[k * d_dim + a]
+            acc = diff * diff if acc is None else acc + diff * diff
+        return jnp.sqrt(acc)
+
+    return din, dtri
+
+
+def _suffstats_kernel(m, d_dim, layout, rho, hetero, t_cell, params_ref,
+                      tab_a_ref, tab_b_ref, ynbr_ref, yown_ref, *rest):
     """One t_cell*1024-site cell: correlation build + masked Cholesky + two
     forward solves, fully unrolled over the static m.  Every ref slice below
     is a (t_cell, 8, 128) array, so each vector op carries t_cell tiles —
@@ -286,19 +406,22 @@ def _suffstats_kernel(m, rho, hetero, t_cell, params_ref, d_in_ref, d_tri_ref,
     ``hetero``: per-site relative nugget alpha * v_i — two extra input
     planes (neighbor v's and own v) replace the scalar alpha on the
     diagonal (reference noiseModel.h heterogeneous analog)."""
-    cdt = d_in_ref.dtype
+    cdt = tab_a_ref.dtype
     phi = params_ref[0, 0].astype(cdt)
     alpha = params_ref[0, 1].astype(cdt)
     jitter = params_ref[0, 2].astype(cdt)
     n_f32 = params_ref[0, 3]
     nu = params_ref[0, 4].astype(cdt)
+    off_f32 = params_ref[0, 5]
     if hetero:
         vnbr_ref, vown_ref = rest[0], rest[1]
         rest = rest[2:]
     f_ref, resid_ref, ld_ref, quad_ref = rest
 
-    masks = [mask_ref[i] for i in range(m)]
-    c = [rho(d_in_ref[i], phi, nu) * masks[i] for i in range(m)]
+    site_idx = _site_idx(t_cell, off_f32)
+    masks = _slot_masks(site_idx, m, cdt)
+    din, dtri = _dist_access(layout, m, d_dim, tab_a_ref, tab_b_ref)
+    c = [rho(din(i), phi, nu) * masks[i] for i in range(m)]
     yn = [ynbr_ref[i] * masks[i] for i in range(m)]
     a_diag = [
         alpha * vnbr_ref[k] if hetero else alpha for k in range(m)
@@ -326,7 +449,7 @@ def _suffstats_kernel(m, rho, hetero, t_cell, params_ref, d_in_ref, d_tri_ref,
         v[k] = av * inv_diag[k]
         for i in range(k + 1, m):
             mij = masks[i] * masks[k]
-            acc = rho(d_tri_ref[_tri(i, k)], phi, nu) * mij
+            acc = rho(dtri(i, k), phi, nu) * mij
             for j in range(k):
                 acc = acc - low[i][j] * low[k][j]
             low[i][k] = acc * inv_diag[k]
@@ -339,7 +462,7 @@ def _suffstats_kernel(m, rho, hetero, t_cell, params_ref, d_in_ref, d_tri_ref,
     resid = yown_ref[...] - bdoty
     f_ref[...] = ff
     resid_ref[...] = resid
-    valid = _site_valid(t_cell, n_f32, ff.dtype)
+    valid = (site_idx < n_f32.astype(jnp.int32)).astype(ff.dtype)
     # (8, 128) lane-partials: reduce the t axis here, the tiny cross-cell
     # sum in XLA (keeps stores tile-aligned and reductions lane-parallel)
     ld_ref[0] = jnp.sum(valid * jnp.log(ff), axis=0)
@@ -356,15 +479,18 @@ def _cell_specs(m, p, t):
     return plane, site
 
 
-def _params_vec(phi, alpha, jitter, n, nu=0.0):
-    # Always float32: the n slot must stay exact (n < 2^24 needs f32 — a
-    # bf16 lane cache would otherwise silently mis-mask the validity plane).
-    # The kernels cast phi/alpha/jitter/nu down to the compute dtype themselves.
+def _params_vec(phi, alpha, jitter, n, nu=0.0, off=0.0):
+    # Always float32: the n and off slots must stay exact (n < 2^24 needs
+    # f32 — a bf16 lane cache would otherwise silently mis-mask the validity
+    # plane).  The kernels cast phi/alpha/jitter/nu down to the compute
+    # dtype themselves.  ``off``: the shard's first global site index (0 on
+    # a single device; axis_index * sites_per_shard under shard_map).
     f32 = jnp.float32
     return jnp.stack([
         phi.astype(f32), alpha.astype(f32), jnp.asarray(jitter, f32),
         jnp.asarray(float(n), f32), jnp.asarray(nu, f32),
-    ]).reshape(1, 5)
+        jnp.asarray(off, f32),
+    ]).reshape(1, 6)
 
 
 def _noise_planes(cache: LaneCache, noise_v):
@@ -379,17 +505,36 @@ def _noise_planes(cache: LaneCache, noise_v):
 
 
 def _run_suffstats(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4,
-                   jitter, nu=0.0, noise4=None):
+                   jitter, nu=0.0, noise4=None, off=0.0):
     m = cache.m
     s = cache.s_tiles
     rho = _rho_fn(kernel)
-    params = _params_vec(phi, alpha, jitter, cache.n, nu)
+    params = _params_vec(phi, alpha, jitter, cache.n, nu, off)
 
-    kern = partial(_suffstats_kernel, m, rho, noise4 is not None, cache.t_cell)
+    kern = partial(
+        _suffstats_kernel, m, _cache_d_dim(cache), cache.layout, rho,
+        noise4 is not None, cache.t_cell,
+    )
     with jax.named_scope("pallas_suffstats"):
         return _pallas_suffstats_call(
             kern, cache, s, m, params, y_own4, y_nbr4, noise4
         )
+
+
+def _cache_d_dim(cache: LaneCache) -> int:
+    return cache.tab_a.shape[0] if cache.layout == "coords" else 0
+
+
+def _table_specs_args(cache: LaneCache, plane):
+    """(in_specs, args) for the two layout-dependent table inputs."""
+    specs = [plane(cache.tab_a.shape[0]), plane(cache.tab_b.shape[0])]
+    return specs, [cache.tab_a, cache.tab_b]
+
+
+def _bytes_per_site(cache: LaneCache, extra: int = 0) -> int:
+    m = cache.m
+    tabs = cache.tab_a.shape[0] + cache.tab_b.shape[0]
+    return 4 * (tabs + m + 1 + extra)
 
 
 def _pallas_suffstats_call(kern, cache, s, m, params, y_own4, y_nbr4,
@@ -399,15 +544,14 @@ def _pallas_suffstats_call(kern, cache, s, m, params, y_own4, y_nbr4,
     plane, site = _cell_specs(m, p, t)
     cells = s // t
     part = pl.BlockSpec((1, _SUBLANES, _LANES), lambda i: (i, _I0, _I0))
+    tab_specs, tab_args = _table_specs_args(cache, plane)
     in_specs = [
-        pl.BlockSpec((1, 5), lambda i: (_I0, _I0), memory_space=pltpu.SMEM),
-        plane(m),
-        plane(p),
-        plane(m),
+        pl.BlockSpec((1, 6), lambda i: (_I0, _I0), memory_space=pltpu.SMEM),
+        *tab_specs,
         plane(m),
         site,
     ]
-    args = [params, cache.d_in, cache.d_tri, cache.mask, y_nbr4, y_own4]
+    args = [params, *tab_args, y_nbr4, y_own4]
     if noise4 is not None:
         in_specs += [plane(m), site]
         args += [noise4[0], noise4[1]]
@@ -424,7 +568,7 @@ def _pallas_suffstats_call(kern, cache, s, m, params, y_own4, y_nbr4,
         ],
         cost_estimate=pl.CostEstimate(
             flops=cache.n_pad * (m**3 // 3 + 3 * m * m),
-            bytes_accessed=cache.n_pad * 4 * (m * (m - 1) // 2 + 4 * m + 3),
+            bytes_accessed=cache.n_pad * _bytes_per_site(cache, extra=2),
             transcendentals=cache.n_pad * (m * (m - 1) // 2 + m),
         ),
         interpret=_interpret(),
@@ -566,8 +710,8 @@ def _drho_nu_fn(kernel):
     return drho_nu
 
 
-def _grad_kernel(m, rho, drho, drho_nu, emit_y, hetero, t_cell, params_ref,
-                 d_in_ref, d_tri_ref, mask_ref, ynbr_ref, yown_ref,
+def _grad_kernel(m, d_dim, layout, rho, drho, drho_nu, emit_y, hetero, t_cell,
+                 params_ref, tab_a_ref, tab_b_ref, ynbr_ref, yown_ref,
                  *rest):
     """Fused value+gradient pass: one factorization, back-substitution, and
     dC/dphi, dC/dalpha (and, for sampled-nu Matern, dC/dnu) contractions —
@@ -575,12 +719,13 @@ def _grad_kernel(m, rho, drho, drho_nu, emit_y, hetero, t_cell, params_ref,
     derivative reductions, so a full value_and_grad costs a single read of
     the distance tables.  ``hetero``: per-site nugget alpha * v_i (see
     _suffstats_kernel); dC/dalpha becomes diag(v)."""
-    cdt = d_in_ref.dtype
+    cdt = tab_a_ref.dtype
     phi = params_ref[0, 0].astype(cdt)
     alpha = params_ref[0, 1].astype(cdt)
     jitter = params_ref[0, 2].astype(cdt)
     n_f32 = params_ref[0, 3]
     nu = params_ref[0, 4].astype(cdt)
+    off_f32 = params_ref[0, 5]
     if hetero:
         vnbr_ref, vown_ref = rest[0], rest[1]
         rest = rest[2:]
@@ -588,9 +733,12 @@ def _grad_kernel(m, rho, drho, drho_nu, emit_y, hetero, t_cell, params_ref,
      dq_da_ref) = rest[:6]
     extra_refs = rest[6:]
 
-    masks = [mask_ref[i] for i in range(m)]
-    c = [rho(d_in_ref[i], phi, nu) * masks[i] for i in range(m)]
-    dc = [drho(d_in_ref[i], phi, nu) * masks[i] for i in range(m)]
+    site_idx = _site_idx(t_cell, off_f32)
+    masks = _slot_masks(site_idx, m, cdt)
+    din, dtri = _dist_access(layout, m, d_dim, tab_a_ref, tab_b_ref)
+    d_in_v = [din(i) for i in range(m)]
+    c = [rho(d_in_v[i], phi, nu) * masks[i] for i in range(m)]
+    dc = [drho(d_in_v[i], phi, nu) * masks[i] for i in range(m)]
     yn = [ynbr_ref[i] * masks[i] for i in range(m)]
     a_diag = [alpha * vnbr_ref[k] if hetero else alpha for k in range(m)]
 
@@ -614,7 +762,7 @@ def _grad_kernel(m, rho, drho, drho_nu, emit_y, hetero, t_cell, params_ref,
         v[k] = av * inv_diag[k]
         for i in range(k + 1, m):
             mij = masks[i] * masks[k]
-            acc = rho(d_tri_ref[_tri(i, k)], phi, nu) * mij
+            acc = rho(dtri(i, k), phi, nu) * mij
             for j in range(k):
                 acc = acc - low[i][j] * low[k][j]
             low[i][k] = acc * inv_diag[k]
@@ -649,7 +797,7 @@ def _grad_kernel(m, rho, drho, drho_nu, emit_y, hetero, t_cell, params_ref,
     dr_phi = jnp.zeros_like(u[0])
     with_nu = drho_nu is not None
     if with_nu:
-        dcn = [drho_nu(d_in_ref[i], phi, nu) * masks[i] for i in range(m)]
+        dcn = [drho_nu(d_in_v[i], phi, nu) * masks[i] for i in range(m)]
         df_nu = jnp.zeros_like(u[0])
         dr_nu = jnp.zeros_like(u[0])
     for i in range(m):
@@ -661,18 +809,19 @@ def _grad_kernel(m, rho, drho, drho_nu, emit_y, hetero, t_cell, params_ref,
     for i in range(m):
         for j in range(i + 1, m):
             mij = masks[i] * masks[j]
-            dcij = drho(d_tri_ref[_tri(j, i)], phi, nu) * mij
+            dij = dtri(j, i)
+            dcij = drho(dij, phi, nu) * mij
             df_phi = df_phi + 2.0 * p[i] * p[j] * dcij
             dr_phi = dr_phi + (p[i] * q[j] + p[j] * q[i]) * dcij
             if with_nu:
-                dcnij = drho_nu(d_tri_ref[_tri(j, i)], phi, nu) * mij
+                dcnij = drho_nu(dij, phi, nu) * mij
                 df_nu = df_nu + 2.0 * p[i] * p[j] * dcnij
                 dr_nu = dr_nu + (p[i] * q[j] + p[j] * q[i]) * dcnij
 
     df_a = (vown_ref[...] if hetero else 1.0) + pp_sum
     dr_a = pq_sum
 
-    valid = _site_valid(t_cell, n_f32, ff.dtype)
+    valid = (site_idx < n_f32.astype(jnp.int32)).astype(ff.dtype)
     inv_f = valid / ff
     r_over_f = r * inv_f
     # (8, 128) lane-partials (t axis reduced here, cells summed in XLA)
@@ -702,35 +851,39 @@ def _grad_kernel(m, rho, drho, drho_nu, emit_y, hetero, t_cell, params_ref,
 
 
 def _run_grad(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4, jitter,
-              nu=0.0, emit_y=False, noise4=None):
+              nu=0.0, emit_y=False, noise4=None, off=0.0):
     """One fused pass -> six scalars (logdet, quad, dld_dphi, dq_dphi,
     dld_da, dq_da), plus (dld_dnu, dq_dnu) for sampled-nu Matern; with
     ``emit_y`` the tuple additionally ends with the non-scalar (b4, rof4)
     planes for the y-cotangent."""
     m = cache.m
     s = cache.s_tiles
-    t = cache.t_cell
+    # coords layout: the gradient kernel's live set (Cholesky vectors +
+    # back-substitution + m*d neighbor-coord loads) exceeds the 16 MB
+    # scoped-VMEM stack at t_cell=8 / m=15 (measured 16.59 MB on v5e), so
+    # grad cells run at most 4 tiles; the forward keeps the full t_cell.
+    t = cache.t_cell if cache.layout == "dist" else min(cache.t_cell, 4)
     p = cache.d_tri.shape[0]
     rho = _rho_fn(kernel)
     drho = _drho_fn(kernel)
     drho_nu = _drho_nu_fn(kernel)
     n_part = 8 if drho_nu is not None else 6
-    params = _params_vec(phi, alpha, jitter, cache.n, nu)
+    params = _params_vec(phi, alpha, jitter, cache.n, nu, off)
     kern = partial(
-        _grad_kernel, m, rho, drho, drho_nu, emit_y, noise4 is not None, t
+        _grad_kernel, m, _cache_d_dim(cache), cache.layout, rho, drho,
+        drho_nu, emit_y, noise4 is not None, t,
     )
     plane, site = _cell_specs(m, p, t)
     cells = s // t
     part = pl.BlockSpec((1, _SUBLANES, _LANES), lambda i: (i, _I0, _I0))
+    tab_specs, tab_args = _table_specs_args(cache, plane)
     in_specs = [
-        pl.BlockSpec((1, 5), lambda i: (_I0, _I0), memory_space=pltpu.SMEM),
-        plane(m),
-        plane(p),
-        plane(m),
+        pl.BlockSpec((1, 6), lambda i: (_I0, _I0), memory_space=pltpu.SMEM),
+        *tab_specs,
         plane(m),
         site,
     ]
-    args = [params, cache.d_in, cache.d_tri, cache.mask, y_nbr4, y_own4]
+    args = [params, *tab_args, y_nbr4, y_own4]
     if noise4 is not None:
         in_specs += [plane(m), site]
         args += [noise4[0], noise4[1]]
@@ -756,7 +909,7 @@ def _run_grad(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4, jitter,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=cache.n_pad * (m**3 // 2 + 6 * m * m),
-            bytes_accessed=cache.n_pad * 4 * (m * (m - 1) // 2 + 4 * m),
+            bytes_accessed=cache.n_pad * _bytes_per_site(cache),
             transcendentals=cache.n_pad * (m * m + m),
         ),
         interpret=_interpret(),
@@ -771,21 +924,24 @@ def _run_grad(kernel, cache: LaneCache, phi, alpha, y_own4, y_nbr4, jitter,
     return scalars
 
 
-def _bf_kernel(m, rho, hetero, params_ref, d_in_ref, d_tri_ref, mask_ref,
-               *rest):
+def _bf_kernel(m, d_dim, layout, rho, hetero, t_cell, params_ref, tab_a_ref,
+               tab_b_ref, *rest):
     """Explicit kriging weights B = C^-1 c (back-substituted) and F — the
     outputs the latent-w Gibbs machinery and the beta update consume."""
-    cdt = d_in_ref.dtype
+    cdt = tab_a_ref.dtype
     phi = params_ref[0, 0].astype(cdt)
     alpha = params_ref[0, 1].astype(cdt)
     jitter = params_ref[0, 2].astype(cdt)
-    nu = params_ref[0, 3].astype(cdt)
+    nu = params_ref[0, 4].astype(cdt)
+    off_f32 = params_ref[0, 5]
     if hetero:
         vnbr_ref, vown_ref = rest[0], rest[1]
         rest = rest[2:]
     b_ref, f_ref = rest
-    masks = [mask_ref[i] for i in range(m)]
-    c = [rho(d_in_ref[i], phi, nu) * masks[i] for i in range(m)]
+    site_idx = _site_idx(t_cell, off_f32)
+    masks = _slot_masks(site_idx, m, cdt)
+    din, dtri = _dist_access(layout, m, d_dim, tab_a_ref, tab_b_ref)
+    c = [rho(din(i), phi, nu) * masks[i] for i in range(m)]
     a_diag = [alpha * vnbr_ref[k] if hetero else alpha for k in range(m)]
     low = [[None] * m for _ in range(m)]
     inv_diag = [None] * m
@@ -803,7 +959,7 @@ def _bf_kernel(m, rho, hetero, params_ref, d_in_ref, d_tri_ref, mask_ref,
         u[k] = au * inv_diag[k]
         for i in range(k + 1, m):
             mij = masks[i] * masks[k]
-            acc = rho(d_tri_ref[_tri(i, k)], phi, nu) * mij
+            acc = rho(dtri(i, k), phi, nu) * mij
             for j in range(k):
                 acc = acc - low[i][j] * low[k][j]
             low[i][k] = acc * inv_diag[k]
@@ -827,22 +983,21 @@ def pallas_bf(kernel, params, cache: LaneCache, alpha, jitter=1e-6,
     t = cache.t_cell
     p = cache.d_tri.shape[0]
     rho = _rho_fn(kernel)
-    phi = jnp.asarray(params["phi"], cache.d_in.dtype)
+    phi = jnp.asarray(params["phi"], cache.tab_a.dtype)
     alpha = jnp.asarray(alpha, phi.dtype)
     nu = _kernel_nu(kernel, params)
-    pvec = jnp.stack([
-        phi.astype(jnp.float32), alpha.astype(jnp.float32),
-        jnp.asarray(jitter, jnp.float32), jnp.asarray(nu, jnp.float32),
-    ]).reshape(1, 4)
-    kern = partial(_bf_kernel, m, rho, noise_v is not None)
+    pvec = _params_vec(phi, alpha, jitter, cache.n, nu)
+    kern = partial(
+        _bf_kernel, m, _cache_d_dim(cache), cache.layout, rho,
+        noise_v is not None, t,
+    )
     plane, site = _cell_specs(m, p, t)
+    tab_specs, tab_args = _table_specs_args(cache, plane)
     in_specs = [
-        pl.BlockSpec((1, 4), lambda i: (_I0, _I0), memory_space=pltpu.SMEM),
-        plane(m),
-        plane(p),
-        plane(m),
+        pl.BlockSpec((1, 6), lambda i: (_I0, _I0), memory_space=pltpu.SMEM),
+        *tab_specs,
     ]
-    args = [pvec, cache.d_in, cache.d_tri, cache.mask]
+    args = [pvec, *tab_args]
     if noise_v is not None:
         noise4 = _noise_planes(cache, noise_v)
         in_specs += [plane(m), site]
@@ -856,12 +1011,12 @@ def pallas_bf(kernel, params, cache: LaneCache, alpha, jitter=1e-6,
             site,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((m, s, _SUBLANES, _LANES), cache.d_in.dtype),
-            jax.ShapeDtypeStruct((s, _SUBLANES, _LANES), cache.d_in.dtype),
+            jax.ShapeDtypeStruct((m, s, _SUBLANES, _LANES), cache.tab_a.dtype),
+            jax.ShapeDtypeStruct((s, _SUBLANES, _LANES), cache.tab_a.dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=cache.n_pad * (m**3 // 3 + 2 * m * m),
-            bytes_accessed=cache.n_pad * 4 * (m * (m - 1) // 2 + 4 * m + 1),
+            bytes_accessed=cache.n_pad * _bytes_per_site(cache),
             transcendentals=cache.n_pad * (m * (m - 1) // 2 + m),
         ),
         interpret=_interpret(),
@@ -977,6 +1132,188 @@ def make_diff_suffstats(kernel, cache: LaneCache, jitter: float = 1e-6,
             else jnp.zeros_like(y)
         )
         return dphi, dalpha, dy
+
+    suff.defvjp(fwd, bwd)
+    return suff
+
+
+# --------------------------------------------------------------------------
+# Mesh-sharded fused path (SURVEY.md section 5.8; VERDICT r3 missing 2).
+#
+# The lane cache's tile axis S is sharded across the mesh's 'sites' axis;
+# each device runs the SAME fused pallas kernel on its block, and the
+# (logdet, quad) partials — plus every derivative reduction on the gradient
+# pass — psum over 'sites'.  The kernels' validity/slot masks come from the
+# global site iota, offset per shard via the SMEM params vector, so the
+# sharded kernels are bit-identical in structure to the single-device ones.
+# --------------------------------------------------------------------------
+
+
+def shard_lane_cache(cache: LaneCache, mesh, axis: str = "sites"):
+    """device_put the cache tables with the S axis sharded over ``axis``.
+
+    The cache must have been built with make_lane_cache(shards=mesh.shape
+    [axis]) so S divides evenly.  Returns a LaneCache of sharded arrays —
+    still a valid pytree for jit arguments."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_sh = mesh.shape[axis]
+    if cache.s_tiles % (n_sh * cache.t_cell):
+        raise ValueError(
+            f"S={cache.s_tiles} tiles not divisible by {n_sh} shards x "
+            f"t_cell={cache.t_cell}; build the cache with shards={n_sh}"
+        )
+    sh = NamedSharding(mesh, P(None, axis, None, None))
+    return cache._replace(
+        tab_a=jax.device_put(cache.tab_a, sh),
+        tab_b=jax.device_put(cache.tab_b, sh),
+        nn_idx=jax.device_put(cache.nn_idx, sh),
+    )
+
+
+def make_sharded_diff_suffstats(kernel, cache: LaneCache, mesh, jitter=1e-6,
+                                noise_v=None, axis: str = "sites"):
+    """Sharded analog of make_diff_suffstats: (logdet, quad) = f(phi, alpha,
+    y) with the fused Pallas kernels running per-shard under shard_map and
+    f64-accumulated psum reductions — multi-chip likelihoods at per-chip
+    fused-kernel speed instead of the ~800x-slower XLA block math.
+
+    ``y`` stays replicated (every shard gathers its own neighbors from the
+    full vector — the m-sparse dependence pattern makes a halo exchange
+    unnecessary, SURVEY.md section 5.7).  y-cotangent propagation
+    (fixed-effects models) is not yet supported here.
+
+    Sampled-nu Matern returns ``suff(phi, alpha, y, nu)``."""
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_sh = mesh.shape[axis]
+    s_local = cache.s_tiles // n_sh
+    if cache.s_tiles % n_sh or s_local % cache.t_cell:
+        raise ValueError(
+            f"S={cache.s_tiles} not divisible into {n_sh} shards of whole "
+            f"t_cell={cache.t_cell} cells; build with shards={n_sh}"
+        )
+    sites_per_shard = s_local * TILE
+    n, n_pad = cache.n, cache.n_pad
+    with_nu = _needs_nu(kernel)
+    noise4 = None if noise_v is None else _noise_planes(cache, noise_v)
+    tab_spec = P(None, axis, None, None)
+    site_spec = P(axis, None, None)
+
+    def _local(phi, alpha, nu, y_own4, y_nbr4, tab_a, tab_b, nn_idx, *nz):
+        # local cache view: same t_cell/layout; n stays GLOBAL because the
+        # validity mask compares offset-adjusted global site indices
+        lc = LaneCache(
+            tab_a=tab_a, tab_b=tab_b, nn_idx=nn_idx, n=n,
+            n_pad=sites_per_shard, t_cell=cache.t_cell, layout=cache.layout,
+        )
+        off = jax.lax.axis_index(axis).astype(jnp.float32) * sites_per_shard
+        noise = (nz[0], nz[1]) if nz else None
+        return lc, off, noise
+
+    def _fwd_body(phi, alpha, nu, y_own4, y_nbr4, tab_a, tab_b, nn_idx, *nz):
+        lc, off, noise = _local(
+            phi, alpha, nu, y_own4, y_nbr4, tab_a, tab_b, nn_idx, *nz
+        )
+        _, _, ld, quad = _run_suffstats(
+            kernel, lc, phi, alpha, y_own4, y_nbr4, jitter,
+            nu=nu, noise4=noise, off=off,
+        )
+        return jax.lax.psum(ld, axis), jax.lax.psum(quad, axis)
+
+    def _grad_body(phi, alpha, nu, y_own4, y_nbr4, tab_a, tab_b, nn_idx, *nz):
+        lc, off, noise = _local(
+            phi, alpha, nu, y_own4, y_nbr4, tab_a, tab_b, nn_idx, *nz
+        )
+        outs = _run_grad(
+            kernel, lc, phi, alpha, y_own4, y_nbr4, jitter,
+            nu=nu, emit_y=False, noise4=noise, off=off,
+        )
+        return tuple(jax.lax.psum(o, axis) for o in outs)
+
+    n_parts = 8 if with_nu else 6
+    extra_specs = (tab_spec, site_spec) if noise_v is not None else ()
+    extra_args = (noise4[0], noise4[1]) if noise_v is not None else ()
+    # y_own4 is (S, 8, 128); y_nbr4 is (m, S, 8, 128) like the tables
+    common_in = (P(), P(), P(), site_spec, tab_spec, tab_spec, tab_spec,
+                 tab_spec) + extra_specs
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, so the collective-safety checker cannot track it
+    def _smap(body, out_specs):
+        try:
+            return shard_map(
+                body, mesh=mesh, axis_names=frozenset({axis}),
+                in_specs=common_in, out_specs=out_specs, check_vma=False,
+            )
+        except TypeError:  # pragma: no cover - older jax spells it check_rep
+            return shard_map(
+                body, mesh=mesh, axis_names=frozenset({axis}),
+                in_specs=common_in, out_specs=out_specs, check_rep=False,
+            )
+
+    fwd_sharded = _smap(_fwd_body, (P(), P()))
+    grad_sharded = _smap(_grad_body, tuple(P() for _ in range(n_parts)))
+
+    def _planes(y):
+        """(y_own4, y_nbr4) built OUTSIDE shard_map: the gather of the
+        replicated y with site-sharded indices shards along the tables."""
+        y_nbr4 = jnp.take(y, cache.nn_idx, axis=0)
+        y_own4 = jnp.pad(y, (0, n_pad - n)).reshape(
+            cache.s_tiles, _SUBLANES, _LANES
+        )
+        return y_own4, y_nbr4
+
+    def _call(which, phi, alpha, y, nu):
+        y_own4, y_nbr4 = _planes(y)
+        return which(
+            jnp.asarray(phi), jnp.asarray(alpha), jnp.asarray(nu),
+            y_own4, y_nbr4, cache.tab_a, cache.tab_b, cache.nn_idx,
+            *extra_args,
+        )
+
+    if with_nu:
+
+        @jax.custom_vjp
+        def suff_nu(phi, alpha, y, nu):
+            return _call(fwd_sharded, phi, alpha, y, nu)
+
+        def fwd_nu(phi, alpha, y, nu):
+            outs = _call(grad_sharded, phi, alpha, y, nu)
+            return (outs[0], outs[1]), (outs[2:8], y)
+
+        def bwd_nu(res, cotangents):
+            (dld_dphi, dq_dphi, dld_da, dq_da, dld_dnu, dq_dnu), y = res
+            g_ld, g_q = cotangents
+            return (
+                g_ld * dld_dphi + g_q * dq_dphi,
+                g_ld * dld_da + g_q * dq_da,
+                jnp.zeros_like(y),
+                g_ld * dld_dnu + g_q * dq_dnu,
+            )
+
+        suff_nu.defvjp(fwd_nu, bwd_nu)
+        return suff_nu
+
+    @jax.custom_vjp
+    def suff(phi, alpha, y):
+        return _call(fwd_sharded, phi, alpha, y, 0.0)
+
+    def fwd(phi, alpha, y):
+        outs = _call(grad_sharded, phi, alpha, y, 0.0)
+        return (outs[0], outs[1]), (outs[2:6], y)
+
+    def bwd(res, cotangents):
+        (dld_dphi, dq_dphi, dld_da, dq_da), y = res
+        g_ld, g_q = cotangents
+        return (
+            g_ld * dld_dphi + g_q * dq_dphi,
+            g_ld * dld_da + g_q * dq_da,
+            jnp.zeros_like(y),
+        )
 
     suff.defvjp(fwd, bwd)
     return suff

@@ -11,10 +11,14 @@ optional run config (config.NNGPConfig); ``load_state`` refuses a checkpoint
 whose leaves do not match the template leaf-by-leaf, and refuses a config
 mismatch — a changed run config can no longer silently reinterpret leaves.
 
-For multi-host runs each host saves its addressable shards
-(``save_state(..., suffix=process_index)``); orbax is available in the image
-for users who prefer managed checkpointing, but this zero-dependency path
-keeps the framework self-contained.
+Multi-host runs: each process saves ONLY its addressable shards to
+``<path>.p<process_index>`` (``save_state(..., process_index=...)``);
+``load_state`` with the same ``process_index`` reads the per-process file
+and reassembles globally-sharded leaves with
+``jax.make_array_from_process_local_data`` using the shardings carried by
+the template state.  orbax is available in the image for users who prefer
+managed checkpointing, but this zero-dependency path keeps the framework
+self-contained.
 """
 
 from __future__ import annotations
@@ -30,6 +34,45 @@ import numpy as np
 __all__ = ["save_state", "load_state"]
 
 
+def _proc_path(path: str, process_index) -> str:
+    if process_index is None:
+        return path
+    base = path[:-4] if path.endswith(".npz") else path
+    return f"{base}.p{int(process_index)}"
+
+
+def host_local_array(x) -> np.ndarray:
+    """The process-local view of a (possibly globally-sharded) array.
+
+    Fully-addressable arrays convert directly.  For multi-host sharded
+    arrays, the unique addressable shards concatenate along their (single)
+    sharded axis — chain-DP states shard on axis 0, collected draw blocks
+    on axis 1 (draws, chains, ...); replicated leaves yield one shard.
+    """
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(x)
+    blocks = {}
+    for s in x.addressable_shards:
+        key = tuple(
+            (sl.start if sl.start is not None else 0) for sl in s.index
+        )
+        blocks.setdefault(key, np.asarray(s.data))
+    keys = sorted(blocks)
+    if len(keys) == 1:
+        return blocks[keys[0]]
+    varying = [
+        a for a in range(len(keys[0]))
+        if len({k[a] for k in keys}) > 1
+    ]
+    if len(varying) != 1:
+        raise NotImplementedError(
+            f"process-local assembly over {len(varying)} sharded axes"
+        )
+    ax = varying[0]
+    keys.sort(key=lambda k: k[ax])
+    return np.concatenate([blocks[k] for k in keys], axis=ax)
+
+
 def _config_dict(config) -> Optional[dict]:
     if config is None:
         return None
@@ -38,14 +81,21 @@ def _config_dict(config) -> Optional[dict]:
     return dict(config)
 
 
-def save_state(path: str, state: Any, extra: dict = None, config=None) -> None:
+def save_state(path: str, state: Any, extra: dict = None, config=None,
+               process_index=None) -> None:
     """Persist a pytree of arrays to ``path`` (.npz + .json sidecar).
 
     ``config``: optional run configuration (an NNGPConfig dataclass or plain
     dict) stored in the sidecar and re-validated by :func:`load_state`.
+
+    ``process_index``: multi-host mode — this process writes its
+    ADDRESSABLE shard data (leading-axis-concatenated) to
+    ``<path>.p<process_index>``; every process must call with its own
+    index.  Leave None for single-host runs.
     """
+    path = _proc_path(path, process_index)
     leaves, treedef = jax.tree_util.tree_flatten(state)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays = {f"leaf_{i}": host_local_array(x) for i, x in enumerate(leaves)}
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
     meta = {
@@ -70,14 +120,21 @@ def _meta_path(path):
     return base + ".json"
 
 
-def load_state(path: str, like: Any, config=None):
+def load_state(path: str, like: Any, config=None, process_index=None):
     """Load a checkpoint into the structure of ``like`` (a state template
     with the same treedef — e.g. a freshly init'd state).
 
     Raises ValueError when the stored leaves do not match the template
     (count, shape) or when ``config`` differs from the config recorded at
     save time — both are resume-with-different-run bugs that used to pass
-    silently (leaf-count-only validation)."""
+    silently (leaf-count-only validation).
+
+    ``process_index``: multi-host mode — read this process's
+    ``<path>.p<process_index>`` file and reassemble each globally-sharded
+    leaf with ``jax.make_array_from_process_local_data`` using the SHARDING
+    CARRIED BY THE TEMPLATE leaf (so the template must already be laid out
+    on the target mesh, e.g. a freshly init'd sharded state)."""
+    path = _proc_path(path, process_index)
     npz = np.load(path if path.endswith(".npz") else path + ".npz")
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
     n = len(leaves_like)
@@ -94,7 +151,9 @@ def load_state(path: str, like: Any, config=None):
         pass
     for i, leaf in enumerate(leaves_like):
         stored = npz[f"leaf_{i}"]
-        want = tuple(np.shape(leaf))
+        # a multi-host sharded template leaf validates against its
+        # process-LOCAL shape (what save_state wrote)
+        want = tuple(host_local_array(leaf).shape)
         if tuple(stored.shape) != want:
             raise ValueError(
                 f"checkpoint leaf {i} has shape {tuple(stored.shape)}, "
@@ -111,8 +170,18 @@ def load_state(path: str, like: Any, config=None):
             raise ValueError(
                 f"checkpoint config does not match the resuming run: {diff}"
             )
-    leaves = [
-        jax.numpy.asarray(npz[f"leaf_{i}"], leaves_like[i].dtype)
-        for i in range(n)
-    ]
+    leaves = []
+    for i, leaf in enumerate(leaves_like):
+        stored = npz[f"leaf_{i}"]
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            leaves.append(
+                jax.make_array_from_process_local_data(
+                    leaf.sharding,
+                    np.asarray(stored, dtype=leaf.dtype),
+                    leaf.shape,
+                )
+            )
+        else:
+            dt = getattr(leaf, "dtype", None) or np.asarray(leaf).dtype
+            leaves.append(jax.numpy.asarray(stored, dt))
     return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -51,3 +51,46 @@ def test_two_process_distributed():
     for rc, out, err in outs:
         assert rc == 0, f"worker failed (rc={rc}):\n{out}\n{err[-3000:]}"
         assert "DIST OK" in out, f"missing OK line:\n{out}\n{err[-2000:]}"
+
+
+def _run_ckpt_phase(phase: str, ckpt_dir: str, marker: str):
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "_ckpt_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid), phase, ckpt_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=420)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out, err in outs:
+        assert rc == 0, f"{phase} worker failed (rc={rc}):\n{out}\n{err[-3000:]}"
+        assert marker in out, f"missing {marker}:\n{out}\n{err[-2000:]}"
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_resume(tmp_path):
+    """Multi-host persistence (SURVEY.md section 5.4 'host-sharded saves'):
+    two real processes save per-process addressable shards, DIE (fresh
+    coordinator), and two new processes reassemble the globally-sharded
+    state exactly and keep sampling."""
+    _run_ckpt_phase("save", str(tmp_path), "CKPT SAVE OK")
+    # both per-process shard files exist after the kill
+    assert (tmp_path / "dist_ckpt.p0.npz").exists()
+    assert (tmp_path / "dist_ckpt.p1.npz").exists()
+    _run_ckpt_phase("resume", str(tmp_path), "CKPT RESUME OK")
