@@ -151,9 +151,10 @@ def _build_fused(args, jax, layout="auto", seed=0):
     tab = build_neighbor_table(coords, args.m)
     phases["neighbor_table"] = round(time.time() - t0, 2)
 
-    # coords lane layout: skip the (n, m, m) host distance precompute —
-    # distances recompute in-kernel from (m+1)*d coord planes
-    use_coords = layout in ("auto", "coords")
+    # Layout (see models/response.py rationale): dist is ~8-13% faster on
+    # the latency-bound kernel; coords skips the (n, m, m) precompute and
+    # shrinks transfers ~2.8x — auto switches at 200k sites.
+    use_coords = layout == "coords" or (layout == "auto" and args.n > 200_000)
     t0 = time.time()
     data, tab = pn.make_vecchia_data(
         coords, args.m, table=tab, precompute_distances=not use_coords
@@ -164,7 +165,7 @@ def _build_fused(args, jax, layout="auto", seed=0):
     y_dev = jnp.asarray(y[tab.order], jnp.float32)
     cache = pb.make_lane_cache(
         data, layout="coords" if use_coords else "dist",
-        coords_host=coords[tab.order],
+        coords_host=coords[tab.order], nn_idx_host=tab.nn_idx,
     )
     jax.block_until_ready((cache.tab_a, cache.tab_b, cache.nn_idx))
     phases["lane_cache"] = round(time.time() - t0, 2)

@@ -152,7 +152,11 @@ class LatentNNGP:
         if backend == "pallas":
             lane_cache = _pb.make_lane_cache(
                 vd, dtype, dist_fn=self.dist_fn, kernel=self.kernel,
+                # dist below 200k sites (faster on the latency-bound
+                # kernel), coords above (see models/response.py rationale)
+                layout="coords" if self.n > 200_000 else "dist",
                 coords_host=np.asarray(coords)[sd.table.order],
+                nn_idx_host=sd.table.nn_idx,
             )
             vd = vd._replace(nn_dist=None, nn_cross_dist=None)
         elif vd.nn_dist is not None:

@@ -169,7 +169,8 @@ jax.tree_util.register_pytree_node(
 def make_lane_cache(data: VecchiaData, dtype=jnp.float32,
                     t_cell: int | None = None, dist_fn=None,
                     kernel=None, layout: str = "auto",
-                    shards: int = 1, coords_host=None) -> LaneCache:
+                    shards: int = 1, coords_host=None,
+                    nn_idx_host=None) -> LaneCache:
     """Host-side relayout of the (hyperparameter-independent) caches.
 
     ``dist_fn`` is only consulted when the VecchiaData carries no
@@ -195,6 +196,13 @@ def make_lane_cache(data: VecchiaData, dtype=jnp.float32,
     VecchiaData device coords are already float32, so UTM-style coordinate
     offsets (~1e6) are quantized to ~0.25 before the centering below can
     save them.
+
+    ``nn_idx_host``: optional (n, m) host copy of the neighbor table
+    (NeighborTable.nn_idx).  Pass it when available: falling back to
+    ``np.asarray(data.nn_idx)`` READS BACK from the device, and
+    device->host transfers over remote-dispatch links are both slow and
+    stall-prone (measured 45 s to 15+ min for 6 MB on a tunneled v5e —
+    the dominant, variable part of the r03 cold-setup cliff).
     """
     from pynngp_tpu.distance import Euclidean as _Euc
 
@@ -207,16 +215,21 @@ def make_lane_cache(data: VecchiaData, dtype=jnp.float32,
     if layout == "coords" and not (dist_fn is None or isinstance(dist_fn, _Euc)):
         raise ValueError("coords layout requires the Euclidean metric")
     if t_cell is None:
+        # .shape only — np.asarray(data.coords) here would round-trip the
+        # whole coordinate array device->host over remote-dispatch links
         t_cell = (
             1 if (kernel is not None and _needs_nu(kernel))
-            else _default_t_cell(m, layout, int(np.asarray(data.coords).shape[1]))
+            else _default_t_cell(m, layout, int(data.coords.shape[1]))
         )
     cell = TILE * t_cell * max(int(shards), 1)
     n_pad = ((n + cell - 1) // cell) * cell
     s = n_pad // TILE
 
+    if nn_idx_host is None:
+        nn_idx_host = np.asarray(data.nn_idx)  # device readback: slow path
+    nn_idx_host = np.asarray(nn_idx_host, np.int32)
     nn_idx = np.zeros((m, n_pad), np.int32)
-    nn_idx[:, :n] = np.asarray(data.nn_idx, np.int32).T
+    nn_idx[:, :n] = nn_idx_host.T
 
     def shape4(a):
         return a.reshape(*a.shape[:-1], s, _SUBLANES, _LANES)
@@ -233,7 +246,7 @@ def make_lane_cache(data: VecchiaData, dtype=jnp.float32,
         co = np.zeros((d_dim, n_pad), np.float32)
         cn = np.zeros((m * d_dim, n_pad), np.float32)
         co[:, :n] = pts.T
-        nbr = pts[np.asarray(data.nn_idx)]  # (n, m, d)
+        nbr = pts[nn_idx_host]  # (n, m, d)
         cn[:, :n] = nbr.reshape(n, m * d_dim).T
         return LaneCache(
             tab_a=jnp.asarray(shape4(co), dtype),
