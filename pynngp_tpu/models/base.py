@@ -249,8 +249,13 @@ def run_chains_chunked(
             with open(checkpoint_path + ".config.json", "w") as fh:
                 json.dump(cfg, fh, indent=2)
         if collected:
+            from pynngp_tpu.utils.checkpoint import host_local_array
+
             merged = jax.tree.map(
-                lambda *xs: np.concatenate(xs, axis=0), *collected
+                lambda *xs: np.concatenate(
+                    [host_local_array(x) for x in xs], axis=0
+                ),
+                *collected,
             )
             np.savez(checkpoint_path + _suffix + ".draws.npz", **merged)
 
@@ -266,16 +271,29 @@ def run_chains_chunked(
         one = jit_bound(lambda s: batched_step(s, jnp.zeros((), jnp.int32)))
         states_test = one(states)
         jax.block_until_ready(states_test)  # compile
-        t0 = time.time()
+        # Warm (first post-compile executions pay one-time program-load
+        # costs on remote-dispatch platforms), then time a PIPELINE of 16
+        # async dispatches: a blocking single-step probe measures the
+        # host<->device round-trip (~100 ms on tunneled chips), not the
+        # ~0.6 ms device step, and the resulting ~100x-too-small chunks
+        # throttled the n=100k MWG bench to ~5% of device speed.
         states_test = one(states_test)
         jax.block_until_ready(states_test)
-        dt = max(time.time() - t0, 1e-4)
+        t0 = time.time()
+        for _ in range(16):
+            states_test = one(states_test)
+        jax.block_until_ready(states_test)
+        dt = max((time.time() - t0) / 16, 1e-5)
         # steps with data-dependent cost (e.g. NUTS tree depth) supply a
         # worst-case/measured cost ratio so no chunk can exceed the budget
         factor = 1.0
         if worst_case_factor_fn is not None:
             factor = float(worst_case_factor_fn(states_test))
         chunk = int(max(1, min(4096, target_chunk_seconds / (dt * factor))))
+        # quantize to a power of two: chunk is baked into the compiled
+        # burn/draw programs, so probe jitter would otherwise recompile
+        # them (~minutes on remote-compile platforms) on every run
+        chunk = 1 << (chunk.bit_length() - 1)
         # never run (much) more than the work actually requested
         chunk = min(chunk, max(n_burn, 1), max(n_samples * thin, 1))
 
@@ -309,10 +327,20 @@ def run_chains_chunked(
 
     def draw_chunk(states, i0):
         def body(s, j):
-            def inner(s2, t):
-                return batched_step(s2, i0 + j * thin + t), None
+            base_i = i0 + j * thin
+            # thin is static: UNROLL small thin counts.  A nested lax.scan
+            # here re-threads the model's table arguments (jit_bound passes
+            # them as parameters, not constants) through the inner while
+            # loop, and XLA inserts per-entry copies of those tables —
+            # measured 84 vs 1200+ draws/s at n=100k, m=15 on v5e.
+            if thin <= 8:
+                for t in range(thin):
+                    s = batched_step(s, base_i + t)
+            else:
+                def inner(s2, t):
+                    return batched_step(s2, base_i + t), None
 
-            s, _ = lax.scan(inner, s, jnp.arange(thin))
+                s, _ = lax.scan(inner, s, jnp.arange(thin))
             return s, jax.vmap(collect_fn)(s)
 
         return lax.scan(body, states, jnp.arange(chunk_draws))
@@ -326,11 +354,12 @@ def run_chains_chunked(
             states, jnp.asarray(burn_total + got * thin, jnp.int32)
         )
         states_box[0] = states
-        # multi-host: pull only this process's addressable chain shards
-        # (np.asarray on a non-fully-addressable array would raise)
-        from pynngp_tpu.utils.checkpoint import host_local_array
-
-        collected.append(jax.tree.map(host_local_array, block))
+        # keep draw blocks ON DEVICE: a device->host readback over
+        # remote-dispatch links costs 0.3-8 s PER ARRAY regardless of size
+        # (measured on a tunneled v5e), so per-chunk np.asarray of ~7
+        # collect leaves was 90%+ of the n=100k MWG wall clock.  Blocks
+        # concatenate on device and transfer once after the loop.
+        collected.append(block)
         got += chunk_draws
         chunks_since_ckpt += 1
         if checkpoint_every and chunks_since_ckpt >= checkpoint_every:
@@ -342,8 +371,16 @@ def run_chains_chunked(
             "sample", min(got, n_samples), n_samples,
             chunk_draws * thin, time.time() - t_chunk,
         )
-    draws = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *collected)
-    draws = jax.tree.map(lambda a: a[:n_samples], draws)
+    from pynngp_tpu.utils.checkpoint import host_local_array
+
+    def _cat(*xs):
+        if isinstance(xs[0], jax.Array):
+            out = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
+            return host_local_array(out)  # ONE readback per leaf per run
+        return np.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
+
+    draws = jax.tree.map(_cat, *collected)
+    draws = jax.tree.map(lambda a: np.asarray(a)[:n_samples], draws)
     # draws axes are (n_draws, n_chains, ...) -> (n_chains, n_draws, ...)
     draws = jax.tree.map(lambda a: np.swapaxes(a, 0, 1), draws)
     return states, draws
