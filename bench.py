@@ -47,8 +47,13 @@ REFERENCE_ESS_PER_SEC_ESTIMATE = 1.0
 
 def _configure_jax(cpu_mesh=0):
     import os
+    import sys
 
     import jax
+
+    # deep jaxprs (NUTS tree over the in-kernel Bessel fori loops) exceed
+    # the default python recursion limit during MLIR lowering
+    sys.setrecursionlimit(20_000)
 
     if os.environ.get("PYNNGP_BENCH_CPU") and not cpu_mesh:
         cpu_mesh = 1  # off-chip smoke runs (site config ignores JAX_PLATFORMS)
@@ -575,12 +580,21 @@ def bench_configs(args):
     coords, y = _field(n2, 10.0)
     t0 = time.time()
     lat = pn.LatentNNGP(coords, y, kernel="exponential", m=15)
-    n_draws = 600 if not args.quick else 50
-    draws = lat.sample(n_draws, n_burn=300 if not args.quick else 50,
-                       n_chains=2, seed=0)
-    dt = time.time() - t0
-    me = min(ess(np.asarray(draws[k])) for k in ("sigma2", "tau2", "phi"))
-    rh = max(split_rhat(np.asarray(draws[k])) for k in ("sigma2", "tau2", "phi"))
+    init2 = {"sigma2": float(np.var(y)) * 0.8, "phi": 0.1,
+             "tau2": float(np.var(y)) * 0.15}
+    n_draws = 2000 if not args.quick else 50
+    dt = 0.0
+    for attempt in range(3):  # size the run to the R-hat gate
+        t0 = time.time()
+        draws = lat.sample(n_draws, n_burn=n_draws // 2,
+                           n_chains=2, seed=attempt, init=init2)
+        dt += time.time() - t0
+        me = min(ess(np.asarray(draws[k])) for k in ("sigma2", "tau2", "phi"))
+        rh = max(split_rhat(np.asarray(draws[k]))
+                 for k in ("sigma2", "tau2", "phi"))
+        if rh <= 1.05 or args.quick:
+            break
+        n_draws *= 2
     print(
         f"# config2[latent-mwg] n={n2} run={dt:.1f}s "
         f"samples/s={2*n_draws/dt:.2f} min-ESS={me:.1f} rhat={rh:.3f}",

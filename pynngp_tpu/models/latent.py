@@ -366,9 +366,20 @@ class LatentNNGP:
             return (w, resid), None
 
         with jax.named_scope("chromatic_w"):
-            (w, _), _ = lax.scan(
-                color_pass, (w, resid), jnp.arange(self.n_colors)
-            )
+            # n_colors is static and small (~10-30): UNROLL.  A lax.scan
+            # over colors re-threads every captured table (jit_bound passes
+            # them as jit parameters) through the while loop and XLA copies
+            # them per color — the same per-entry-copy pathology measured at
+            # ~1 ms/buffer in the chunked driver's nested thin scan.
+            if self.n_colors <= 64:
+                carry = (w, resid)
+                for c in range(self.n_colors):
+                    carry, _ = color_pass(carry, c)
+                w, _ = carry
+            else:  # pragma: no cover - degenerate colorings only
+                (w, _), _ = lax.scan(
+                    color_pass, (w, resid), jnp.arange(self.n_colors)
+                )
         return w
 
     def _update_w_sequential(self, key, w, b, f, sigma2, tau2, beta):
