@@ -101,7 +101,11 @@ def _chebyshev_gam(mu):
     gammi = _rgamma(1.0 - mu)  # 1/Gamma(1-mu)
     mu2 = mu * mu
     small = jnp.abs(mu) < 0.01
-    safe_mu = jnp.where(small, 1.0, mu)
+    # typed constant, NOT a bare 1.0: under jax_enable_x64 a bare python
+    # float rides into the jnp.where as a weak f64 scalar and the implied
+    # f64->f32 convert_element_type sends Mosaic's lowering into infinite
+    # recursion (RecursionError while compiling the fused Matern kernels)
+    safe_mu = jnp.where(small, jnp.asarray(1.0, mu.dtype), mu)
     gam1 = jnp.where(
         small,
         -(b1 + mu2 * (b3 + mu2 * b5)),
