@@ -127,11 +127,15 @@ def main():
         help="ess mode: which sampler to run; 'best' runs both and reports "
         "the higher converged ESS/sec",
     )
-    # 24k draws/chain: the ~18 s MAP fit amortizes over a longer run (pure
-    # MWG sampling earns ~24 ESS/s; at 12k draws the MAP overhead halves the
-    # headline to ~11, at 24k+extension the all-in rate clears 20)
-    p.add_argument("--mwg-samples", type=int, default=24000)
+    # 48k draws x 16 chains: vmapped chains share the table streams inside
+    # the fused kernel, so 4x the chains costs only ~2x wall (measured
+    # 4,870 samples/s at 4 chains -> 9,480 at 16), and ESS pools across
+    # chains; the long run amortizes the ~30-40 s MAP-fit compile that
+    # otherwise dominates (the persistent cache misses across processes on
+    # the tunneled platform).  Measured: ~25-30 converged ESS/sec all-in.
+    p.add_argument("--mwg-samples", type=int, default=48000)
     p.add_argument("--mwg-burn", type=int, default=1000)
+    p.add_argument("--mwg-chains", type=int, default=16)
     p.add_argument(
         "--mwg-max-extend", type=int, default=3,
         help="ess mode: double the MWG draw budget up to this many times "
@@ -148,6 +152,7 @@ def main():
         args.evals_per_call = 200
         args.samples, args.burn = 50, 50
         args.mwg_samples, args.mwg_burn = 300, 100
+        args.mwg_chains = 2
         args.map_steps = 100
     if args.mode in ("both", "loglik"):
         bench_loglik(args)
@@ -432,19 +437,20 @@ def bench_ess(args):
         }
         n_draws = args.mwg_samples
         burn = args.mwg_burn
+        n_ch = args.mwg_chains
         dt = 0.0
         for attempt in range(args.mwg_max_extend + 1):
             t0 = time.time()
             draws = model.sample(
-                n_draws, n_burn=burn, n_chains=args.chains,
+                n_draws, n_burn=burn, n_chains=n_ch,
                 init=init, seed=attempt,
                 proposal_cov=model.theta_proposal_cov(mp.laplace_cov),
             )
             dt += time.time() - t0
-            min_ess, max_rhat = _chain_stats(draws, args.chains)
-            total = args.chains * n_draws
+            min_ess, max_rhat = _chain_stats(draws, n_ch)
+            total = n_ch * n_draws
             print(
-                f"# ess-mode[mwg] n={args.n} m={args.m} chains={args.chains} "
+                f"# ess-mode[mwg] n={args.n} m={args.m} chains={n_ch} "
                 f"draws={n_draws} map={map_s:.1f}s run={dt:.1f}s "
                 f"samples/s={total/(dt):.2f} min-ESS={min_ess:.1f} "
                 f"rhat-max={max_rhat:.3f}",
