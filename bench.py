@@ -11,8 +11,9 @@ Other modes (run separately; each prints its own JSON lines):
     1/2/4/8 on a virtual CPU mesh (chain-parallel MWG + site-sharded
     likelihood) — the BASELINE north-star scaling harness; on a real pod
     the same code path measures real chips.
-  - ``--mode configs``: SPEC configs 2-4 (latent n=10k MWG; sampled-nu
-    Matern NUTS n=25k on the fused path; SMC n=50k with evidence).
+  - ``--mode configs``: SPEC configs 1-4 (response n=2k MWG; latent
+    n=10k MWG; sampled-nu Matern NUTS n=25k on the fused path; SMC n=50k
+    with evidence).  ``--only 1,3`` selects a subset.
   - ``--mode setup500k``: config-5-scale setup + fused evals at
     n=500k, m=20 with a per-phase breakdown.
 
@@ -110,7 +111,7 @@ def main():
         default="both",
         help="loglik: fused-kernel evals/sec; ess: samples/sec + ESS/sec; "
         "both (default): loglik line then ESS line; scaling: virtual-mesh "
-        "scaling efficiency; configs: SPEC configs 2-4; setup500k: config-5 "
+        "scaling efficiency; configs: SPEC configs 1-4; setup500k: config-5 "
         "setup + evals",
     )
     p.add_argument(
@@ -145,6 +146,11 @@ def main():
         "--nuts-max-extend", type=int, default=2,
         help="ess mode: double the NUTS draw budget up to this many times "
         "until split-R-hat clears the 1.05 gate",
+    )
+    p.add_argument(
+        "--only", type=str, default="",
+        help="configs mode: comma-separated subset of configs to run, "
+        "e.g. --only 1,3 (default: all of 1-4)",
     )
     args = p.parse_args()
     if args.quick:
@@ -652,108 +658,203 @@ def bench_scaling(args):
 
 
 def bench_configs(args):
-    """SPEC configs 2-4, one JSON line each (BASELINE.json configs)."""
+    """SPEC configs 1-4, one JSON line each (BASELINE.json configs).
+
+    ``--only 1,3`` runs a subset (each config is independent: config 1 uses
+    its own RNG and configs 2-4 consume the shared stream in order, so a
+    subset containing config k>1 still reproduces the full run's data for
+    config k only when the earlier configs in 2..k-1 are also selected;
+    use the default all-configs run for the recorded artifacts).
+    """
     jax = _configure_jax()
 
     import pynngp_tpu as pn
     from pynngp_tpu.diagnostics import ess, split_rhat
 
+    only = {int(s) for s in args.only.split(",") if s.strip()}
+
+    def _want(k):
+        return not only or k in only
+
     rng = np.random.default_rng(0)
 
-    def _field(n, scale):
-        coords = rng.uniform(size=(n, 2))
-        freqs = rng.normal(scale=scale, size=(128, 2))
-        ph = rng.uniform(0, 2 * np.pi, 128)
+    def _field(n, scale, gen=None):
+        g = rng if gen is None else gen
+        coords = g.uniform(size=(n, 2))
+        freqs = g.normal(scale=scale, size=(128, 2))
+        ph = g.uniform(0, 2 * np.pi, 128)
         w = np.sqrt(2 / 128) * np.cos(coords @ freqs.T + ph).sum(axis=1)
-        return coords, w + 0.3 * rng.standard_normal(n)
+        return coords, w + 0.3 * g.standard_normal(n)
 
-    # --- config 2: latent NNGP, n=10k, m=15, exponential kernel, MWG ---
-    n2 = 10_000 if not args.quick else 1_000
-    coords, y = _field(n2, 10.0)
-    t0 = time.time()
-    lat = pn.LatentNNGP(coords, y, kernel="exponential", m=15)
-    init2 = {"sigma2": float(np.var(y)) * 0.8, "phi": 0.1,
-             "tau2": float(np.var(y)) * 0.15}
-    n_draws = 2000 if not args.quick else 50
-    dt = 0.0
-    for attempt in range(3):  # size the run to the R-hat gate
+    # --- config 1: response NNGP, synthetic 2-D grid n=2k, m=10, sqexp,
+    # Metropolis-within-Gibbs on (sigma2, phi, tau2) — the PR1 reference
+    # config (BASELINE.json configs[0]).  Own RNG so adding this block did
+    # not shift the config 2-4 data streams recorded in earlier runs. ---
+    if _want(1):
+        n1 = 2_000 if not args.quick else 400
+        g1 = np.random.default_rng(11)
+        side = int(np.ceil(np.sqrt(n1)))  # grid covers n1, then slice exact
+        gx, gy = np.meshgrid(np.linspace(0, 1, side), np.linspace(0, 1, side))
+        coords = np.stack([gx.ravel(), gy.ravel()], axis=1)[:n1]
+        coords = coords + 1e-3 * g1.standard_normal(coords.shape)  # break ties
+        freqs = g1.normal(scale=6.0, size=(128, 2))
+        ph = g1.uniform(0, 2 * np.pi, 128)
+        w = np.sqrt(2 / 128) * np.cos(coords @ freqs.T + ph).sum(axis=1)
+        y = w + 0.3 * g1.standard_normal(n1)
+        mod1 = pn.ResponseNNGP(coords, y, kernel="sqexp", m=10)
+        n_draws = 4000 if not args.quick else 100
+        for attempt in range(3):  # size the run to the R-hat gate
+            t0 = time.time()
+            draws = mod1.sample(n_draws, n_burn=n_draws // 4,
+                                n_chains=4, seed=attempt)
+            dt = time.time() - t0
+            me = min(ess(np.asarray(draws[k])) for k in ("sigma2", "tau2", "phi"))
+            rh = max(split_rhat(np.asarray(draws[k]))
+                     for k in ("sigma2", "tau2", "phi"))
+            if rh <= 1.05 or args.quick:
+                break
+            n_draws *= 2
+        print(
+            f"# config1[response-mwg] n={n1} run={dt:.1f}s "
+            f"samples/s={4*n_draws/dt:.2f} min-ESS={me:.1f} rhat={rh:.3f}",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": f"config1_response_mwg_ess_per_sec_n{n1}",
+            "value": round(me / dt, 3), "unit": "ESS/sec",
+            "vs_baseline": round(me / dt / REFERENCE_ESS_PER_SEC_ESTIMATE, 2),
+            "samples_per_sec": round(4 * n_draws / dt, 2),
+            "rhat_max": round(rh, 4), "converged": bool(rh <= 1.05),
+        }), flush=True)
+
+    if _want(2):
+        # --- config 2: latent NNGP, n=10k, m=15, exponential kernel, MWG ---
+        n2 = 10_000 if not args.quick else 1_000
+        coords, y = _field(n2, 10.0)
         t0 = time.time()
-        draws = lat.sample(n_draws, n_burn=n_draws // 2,
-                           n_chains=2, seed=attempt, init=init2)
-        dt += time.time() - t0
-        me = min(ess(np.asarray(draws[k])) for k in ("sigma2", "tau2", "phi"))
-        rh = max(split_rhat(np.asarray(draws[k]))
-                 for k in ("sigma2", "tau2", "phi"))
-        if rh <= 1.05 or args.quick:
-            break
-        n_draws *= 2
-    print(
-        f"# config2[latent-mwg] n={n2} run={dt:.1f}s "
-        f"samples/s={2*n_draws/dt:.2f} min-ESS={me:.1f} rhat={rh:.3f}",
-        file=sys.stderr,
-    )
-    print(json.dumps({
-        "metric": f"config2_latent_mwg_ess_per_sec_n{n2}",
-        "value": round(me / dt, 3), "unit": "ESS/sec",
-        "vs_baseline": round(me / dt / REFERENCE_ESS_PER_SEC_ESTIMATE, 2),
-        "samples_per_sec": round(2 * n_draws / dt, 2),
-        "rhat_max": round(rh, 4), "converged": bool(rh <= 1.05),
-    }), flush=True)
+        lat = pn.LatentNNGP(coords, y, kernel="exponential", m=15)
+        init2 = {"sigma2": float(np.var(y)) * 0.8, "phi": 0.1,
+                 "tau2": float(np.var(y)) * 0.15}
+        n_draws = 2000 if not args.quick else 50
+        dt = 0.0
+        for attempt in range(3):  # size the run to the R-hat gate
+            t0 = time.time()
+            draws = lat.sample(n_draws, n_burn=n_draws // 2,
+                               n_chains=2, seed=attempt, init=init2)
+            dt += time.time() - t0
+            me = min(ess(np.asarray(draws[k])) for k in ("sigma2", "tau2", "phi"))
+            rh = max(split_rhat(np.asarray(draws[k]))
+                     for k in ("sigma2", "tau2", "phi"))
+            if rh <= 1.05 or args.quick:
+                break
+            n_draws *= 2
+        print(
+            f"# config2[latent-mwg] n={n2} run={dt:.1f}s "
+            f"samples/s={2*n_draws/dt:.2f} min-ESS={me:.1f} rhat={rh:.3f}",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": f"config2_latent_mwg_ess_per_sec_n{n2}",
+            "value": round(me / dt, 3), "unit": "ESS/sec",
+            "vs_baseline": round(me / dt / REFERENCE_ESS_PER_SEC_ESTIMATE, 2),
+            "samples_per_sec": round(2 * n_draws / dt, 2),
+            "rhat_max": round(rh, 4), "converged": bool(rh <= 1.05),
+        }), flush=True)
 
-    # --- config 3: sampled-nu Matern NUTS, n=25k, fused path ---
-    # (quick mode shrinks hard: the off-TPU XLA fallback evaluates the
-    # general-nu Bessel series on (n, m, m) tables per leapfrog)
-    n3 = 25_000 if not args.quick else 600
-    coords, y = _field(n3, 15.0)
-    t0 = time.time()
-    mod = pn.ResponseNNGP(coords, y, kernel=pn.Matern(), m=10 if not args.quick else 6)
-    mp = mod.fit_map(n_steps=150 if not args.quick else 60)
-    n_s = 150 if not args.quick else 15
-    draws = mod.sample_nuts(
-        n_s, n_burn=150 if not args.quick else 15, n_chains=2,
-        max_depth=6 if not args.quick else 4, init_u=np.asarray(mp.u),
-        init_inv_mass=np.asarray(mp.laplace_cov), init_jitter=2.0, seed=0,
-    )
-    dt = time.time() - t0
-    keys3 = ("sigma2", "tau2", "phi", "nu")
-    me = min(ess(np.asarray(draws[k])) for k in keys3)
-    rh = max(split_rhat(np.asarray(draws[k])) for k in keys3)
-    print(
-        f"# config3[matern-nu-nuts] n={n3} run={dt:.1f}s "
-        f"samples/s={2*n_s/dt:.2f} min-ESS={me:.1f} rhat={rh:.3f} "
-        f"backend={mod.backend}",
-        file=sys.stderr,
-    )
-    print(json.dumps({
-        "metric": f"config3_matern_nu_nuts_ess_per_sec_n{n3}",
-        "value": round(me / dt, 3), "unit": "ESS/sec",
-        "vs_baseline": round(me / dt / REFERENCE_ESS_PER_SEC_ESTIMATE, 2),
-        "samples_per_sec": round(2 * n_s / dt, 2),
-        "rhat_max": round(rh, 4), "converged": bool(rh <= 1.05),
-        "backend": mod.backend,
-    }), flush=True)
+    if _want(3):
+        # --- config 3: sampled-nu Matern NUTS, n=25k, fused path ---
+        # Data is an actual Matern(nu=1.2) NNGP prior draw (composed through
+        # the gold dense per-site conditionals), NOT the cos-feature field:
+        # that field is C-infinity, so nu is unidentifiable, piles onto the
+        # 3.0 prior boundary, and the (sigma2, phi, nu) ridge defeats any
+        # sampler — a mis-posed benchmark.  With in-family data the
+        # posterior is a well-posed (if still ridged) inference problem.
+        # (quick mode shrinks hard: the off-TPU XLA fallback evaluates the
+        # general-nu Bessel series on (n, m, m) tables per leapfrog)
+        n3 = 25_000 if not args.quick else 600
+        m3 = 10 if not args.quick else 6
+        _ = _field(n3, 15.0)  # keep the shared stream aligned across rounds
+        g3 = np.random.default_rng(33)
+        coords = g3.uniform(size=(n3, 2))
+        sig_t, phi_t, nu_t, tau_t = 1.5, 0.15, 1.2, 0.1
+        from pynngp_tpu.gold.dense_gp import vecchia_bf_dense
+        from pynngp_tpu.neighbors import build_neighbor_table
 
-    # --- config 4: SMC, n=50k, tempered particles + evidence ---
-    n4 = 50_000 if not args.quick else 1_500
-    coords, y = _field(n4, 18.0)
-    t0 = time.time()
-    mod4 = pn.ResponseNNGP(coords, y, kernel="sqexp", m=10 if not args.quick else 6)
-    n_part = 512 if not args.quick else 64
-    draws4, infos = mod4.sample_smc(n_particles=n_part, n_move=3, seed=0)
-    dt = time.time() - t0
-    print(
-        f"# config4[smc] n={n4} particles={n_part} stages={len(infos)} "
-        f"run={dt:.1f}s log_z={draws4['log_z']:.1f}",
-        file=sys.stderr,
-    )
-    print(json.dumps({
-        "metric": f"config4_smc_particles_per_sec_n{n4}",
-        "value": round(n_part * len(infos) / dt, 2),
-        "unit": "particle-stages/sec",
-        "vs_baseline": None,  # reference has no SMC at all
-        "stages": len(infos), "log_z": round(float(draws4["log_z"]), 2),
-        "seconds": round(dt, 1),
-    }), flush=True)
+        tab3 = build_neighbor_table(coords, m=m3)
+        oc = coords[tab3.order]
+        b3, f3 = vecchia_bf_dense(
+            oc, tab3.nn_idx, tab3.nn_mask, "matern", phi_t, nu=nu_t
+        )
+        z3 = g3.standard_normal(n3)
+        w_ord = np.zeros(n3)
+        for i in range(n3):  # NNGP prior compose: w_i = B_i w_N + sqrt(F_i) z
+            sel = tab3.nn_idx[i][tab3.nn_mask[i]]
+            w_ord[i] = b3[i, : len(sel)] @ w_ord[sel] + np.sqrt(f3[i]) * z3[i]
+        w3 = np.sqrt(sig_t) * w_ord[tab3.inverse_order]
+        y = w3 + np.sqrt(tau_t) * g3.standard_normal(n3)
+
+        t_all = time.time()
+        mod = pn.ResponseNNGP(coords, y, kernel=pn.Matern(), m=m3)
+        mp = mod.fit_map(n_steps=300 if not args.quick else 60)
+        n_s = 200 if not args.quick else 15
+        dt = 0.0
+        keys3 = ("sigma2", "tau2", "phi", "nu")
+        for attempt in range(3):  # size the run to the R-hat gate
+            t0 = time.time()
+            draws = mod.sample_nuts(
+                n_s, n_burn=max(150, n_s // 2) if not args.quick else 15,
+                n_chains=2, max_depth=6 if not args.quick else 4,
+                init_u=np.asarray(mp.u),
+                init_inv_mass=np.asarray(mp.laplace_cov), init_jitter=2.0,
+                seed=attempt,
+            )
+            dt += time.time() - t0
+            me = min(ess(np.asarray(draws[k])) for k in keys3)
+            rh = max(split_rhat(np.asarray(draws[k])) for k in keys3)
+            if rh <= 1.05 or args.quick:
+                break
+            n_s *= 2
+        dt_total = time.time() - t_all  # incl. MAP fit, all-in like the ESS bench
+        print(
+            f"# config3[matern-nu-nuts] n={n3} sample={dt:.1f}s "
+            f"total={dt_total:.1f}s samples/s={2*n_s/dt:.2f} "
+            f"min-ESS={me:.1f} rhat={rh:.3f} backend={mod.backend}",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": f"config3_matern_nu_nuts_ess_per_sec_n{n3}",
+            "value": round(me / dt_total, 3), "unit": "ESS/sec",
+            "vs_baseline": round(
+                me / dt_total / REFERENCE_ESS_PER_SEC_ESTIMATE, 2
+            ),
+            "samples_per_sec": round(2 * n_s / dt, 2),
+            "sample_seconds": round(dt, 1), "total_seconds": round(dt_total, 1),
+            "rhat_max": round(rh, 4), "converged": bool(rh <= 1.05),
+            "backend": mod.backend,
+        }), flush=True)
+
+    if _want(4):
+        # --- config 4: SMC, n=50k, tempered particles + evidence ---
+        n4 = 50_000 if not args.quick else 1_500
+        coords, y = _field(n4, 18.0)
+        t0 = time.time()
+        mod4 = pn.ResponseNNGP(coords, y, kernel="sqexp", m=10 if not args.quick else 6)
+        n_part = 512 if not args.quick else 64
+        draws4, infos = mod4.sample_smc(n_particles=n_part, n_move=3, seed=0)
+        dt = time.time() - t0
+        print(
+            f"# config4[smc] n={n4} particles={n_part} stages={len(infos)} "
+            f"run={dt:.1f}s log_z={draws4['log_z']:.1f}",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": f"config4_smc_particles_per_sec_n{n4}",
+            "value": round(n_part * len(infos) / dt, 2),
+            "unit": "particle-stages/sec",
+            "vs_baseline": None,  # reference has no SMC at all
+            "stages": len(infos), "log_z": round(float(draws4["log_z"]), 2),
+            "seconds": round(dt, 1),
+        }), flush=True)
 
 
 def bench_setup500k(args):

@@ -163,8 +163,15 @@ def _kv_temme_small(x, mu):
         ksum1 = ksum1 + c * (p - fi * ff)
         return ff, p, q, c, ksum, ksum1
 
+    # i32 bounds, not python ints: under jax_enable_x64 python-int bounds
+    # make the fori_loop index an i64, and the body's i.astype(f32) becomes
+    # an i64->f32 convert_element_type that Mosaic's _convert_helper lowers
+    # by recursively re-emitting itself — RecursionError at compile time on
+    # the real chip (first hit by the sampled-nu config-3 bench; CPU tests
+    # run the kernels interpreted and never lower through Mosaic).
     ff, p, q, c, ksum, ksum1 = lax.fori_loop(
-        1, _TEMME_ITERS + 1, body, (ff, p, q, c, ksum, ksum1)
+        jnp.int32(1), jnp.int32(_TEMME_ITERS + 1), body,
+        (ff, p, q, c, ksum, ksum1),
     )
     scale = jnp.exp(x)  # return scaled values; x <= 2 so no overflow
     return ksum * scale, ksum1 * (2.0 / x) * scale
@@ -227,8 +234,10 @@ def _kv_cf2_large(x, mu):
             keep(c_n, c), keep(s_n, s), done_n,
         )
 
+    # i32 bounds: see _kv_temme_small (i64 index breaks Mosaic lowering)
     b, d, h, delh, q1, q2, a, q, c, s, done = lax.fori_loop(
-        2, _CF2_ITERS + 2, body, (b, d, h, delh, q1, q2, a, q, c, s, done)
+        jnp.int32(2), jnp.int32(_CF2_ITERS + 2), body,
+        (b, d, h, delh, q1, q2, a, q, c, s, done),
     )
     h = a1 * h
     # e^x K_mu(x) = sqrt(pi / 2x) / s
@@ -269,7 +278,10 @@ def _kve_raw(x, nu):
         take = i < k_steps  # branchless: advance only while i < k_steps
         return jnp.where(take, kp, km), jnp.where(take, knext, kp)
 
-    km, kp = lax.fori_loop(1, _MAX_RECUR + 1, body, (kmu, kmu1))
+    # i32 bounds: see _kv_temme_small (i64 index breaks Mosaic lowering)
+    km, kp = lax.fori_loop(
+        jnp.int32(1), jnp.int32(_MAX_RECUR + 1), body, (kmu, kmu1)
+    )
     return jnp.where(k_steps == 0, kmu, kp)
 
 

@@ -119,13 +119,22 @@ def laplace_moments(
         rows = jnp.concatenate([eye, steps[:, None]], axis=1)
         _, h_rows = lax.scan(col, None, rows)  # row i = d grad / d u_i
         h = -0.5 * (h_rows + h_rows.T)  # symmetrized -hessian
-        # robust inverse: clamp eigenvalues away from zero
+        # SoftAbs-style robust inverse (Betancourt 2013): clamp eigenvalue
+        # MAGNITUDES away from zero.  A not-fully-converged MAP on a
+        # posterior ridge (e.g. the (sigma2, phi, nu) trade-off of a
+        # sampled-nu Matern, SPEC config 3) leaves H indefinite; an
+        # all-or-nothing identity fallback there hands NUTS a unit metric
+        # that cannot traverse the ridge and the chains freeze (measured:
+        # R-hat 35 at n=25k).  |eigenvalue| keeps the curvature SCALES and
+        # correlation directions of the good subspace, which is exactly
+        # what a mass matrix needs; identity remains only for non-finite
+        # results.
         evals, evecs = jnp.linalg.eigh(h)
         floor = jnp.maximum(jnp.max(jnp.abs(evals)) * rel_floor, 1e-30)
-        safe = jnp.maximum(evals, floor)
+        safe = jnp.maximum(jnp.abs(evals), floor)
         hinv = (evecs / safe[None, :]) @ evecs.T
         var = jnp.diag(hinv)
-        bad = (jnp.min(evals) <= 0.0) | ~jnp.all(jnp.isfinite(var))
+        bad = ~jnp.all(jnp.isfinite(var))
         var = jnp.where(bad, jnp.ones((k,), u_map.dtype), var)
         cov = jnp.where(bad, jnp.eye(k, dtype=u_map.dtype), hinv)
         return var, cov

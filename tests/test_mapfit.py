@@ -44,12 +44,15 @@ def test_laplace_variance_matches_quadratic_target():
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_true), rtol=1e-6)
 
 
-def test_laplace_variance_nonpsd_falls_back_to_unit():
+def test_laplace_variance_nonpsd_clamps_eigenvalue_magnitudes():
+    # saddle (not a max): SoftAbs-style |eigenvalue| keeps the curvature
+    # SCALES instead of collapsing to an identity metric — a wrong-sign
+    # direction still contributes its magnitude (mass-matrix semantics)
     def logpost(u):
-        return 0.5 * u[0] * u[0] - 0.5 * u[1] * u[1]  # saddle: not a max
+        return 2.0 * u[0] * u[0] - 8.0 * u[1] * u[1]  # -hess = diag(-4, 16)
 
     var = laplace_variance(logpost, jnp.zeros((2,)))
-    np.testing.assert_allclose(np.asarray(var), np.ones(2))
+    np.testing.assert_allclose(np.asarray(var), [0.25, 0.0625], rtol=1e-4)
 
 
 def test_map_fit_standalone_gaussian():
