@@ -84,6 +84,7 @@ class LatentNNGP:
         backend: str = "auto",
         noise="homogeneous",
         mesh=None,
+        collapsed: bool = True,
     ):
         from pynngp_tpu.noise import get_noise
         from pynngp_tpu.utils.jit import DataRef
@@ -106,6 +107,10 @@ class LatentNNGP:
         self.dtype = dtype
         self.jitter = jitter
         self.w_update = w_update
+        # theta block targets the sigma2-collapsed marginal by default (see
+        # _collapsed_value); collapsed=False keeps the reference's
+        # sigma2-conditioned updateTheta semantics
+        self.collapsed = collapsed
         sd = prepare_spatial_data(
             coords, y, m, x=x, ordering=ordering, distance=distance, dtype=dtype,
             precompute_distances=precompute_distances,
@@ -354,44 +359,55 @@ class LatentNNGP:
         resid = w - jnp.sum(b * w_nbr, axis=-1)
         eps = jax.random.normal(key, w.shape, w.dtype)
 
-        def color_pass(carry, c):
+        # Stack every w-INDEPENDENT per-site quantity into color-major
+        # (n_colors, max_sz, ...) layout with ONE gather each, instead of
+        # re-gathering per color: the sweep was 91% of the latent step
+        # (11.5 of 12.65 ms at n=10k, 38 colors) and almost all of it was
+        # per-op gather/scatter overhead, not compute.  The w-DEPENDENT
+        # conditional mean needs no (max_sz, m) neighbor gather at all:
+        # resid is maintained as exactly r_i = w_i - B_i . w_N(i) under
+        # current w, so mu_own = w_i - r_i.
+        cs = self.color_sites  # (n_colors, max_sz)
+        xs = (
+            cs,
+            self.color_smask.astype(w.dtype),
+            jnp.take(b_child, cs, axis=0),       # (C, msz, max_c)
+            jnp.take(fp_child, cs, axis=0),
+            jnp.take(self.child_idx, cs, axis=0),
+            jnp.take(v, cs), jnp.take(sd, cs), jnp.take(eps, cs),
+            jnp.take(ytil, cs), jnp.take(fprec, cs),
+        )
+
+        def color_pass(carry, x):
             w, resid = carry
-            sites = self.color_sites[c]  # (max_sz,)
-            smask = self.color_smask[c].astype(w.dtype)
-            nn_s = vd.nn_idx[sites]  # (max_sz, m)
-            nm_s = vd.nn_mask[sites].astype(w.dtype)
-            mu_own = jnp.sum(b[sites] * jnp.take(w, nn_s) * nm_s, axis=-1)
-            ci_s = self.child_idx[sites]  # (max_sz, max_c)
-            bc_s = b_child[sites]
-            fp_s = fp_child[sites]
-            w_s = w[sites]
+            sites, smask, bc_s, fp_s, ci_s, v_s, sd_s, eps_s, ytil_s, fprec_s = x
+            w_s = jnp.take(w, sites)
+            mu_own = w_s - jnp.take(resid, sites)  # B_i . w_N(i), current w
             resid_excl = jnp.take(resid, ci_s) + bc_s * w_s[:, None]
-            rhs = ytil[sites] + mu_own * fprec[sites] + jnp.sum(
+            rhs = ytil_s + mu_own * fprec_s + jnp.sum(
                 bc_s * fp_s * resid_excl, axis=-1
             )
-            w_new = v[sites] * rhs + sd[sites] * eps[sites]
+            w_new = v_s * rhs + sd_s * eps_s
             delta = (w_new - w_s) * smask  # pad slots contribute 0
             w = w.at[sites].add(delta)
-            resid = resid.at[sites].add(delta)
-            # each child j of a color-c site has exactly one parent in c
-            resid = resid.at[ci_s].add(-bc_s * delta[:, None])
+            # one fused scatter-add: own-site delta + the child updates
+            # (each child j of a color-c site has exactly one parent in c,
+            # and children are never color-c, so all live indices are
+            # distinct; masked child slots carry b_child = 0)
+            idx = jnp.concatenate([sites, ci_s.reshape(-1)])
+            upd = jnp.concatenate(
+                [delta, (-bc_s * delta[:, None]).reshape(-1)]
+            )
+            resid = resid.at[idx].add(upd)
             return (w, resid), None
 
         with jax.named_scope("chromatic_w"):
-            # n_colors is static and small (~10-30): UNROLL.  A lax.scan
-            # over colors re-threads every captured table (jit_bound passes
-            # them as jit parameters) through the while loop and XLA copies
-            # them per color — the same per-entry-copy pathology measured at
-            # ~1 ms/buffer in the chunked driver's nested thin scan.
-            if self.n_colors <= 64:
-                carry = (w, resid)
-                for c in range(self.n_colors):
-                    carry, _ = color_pass(carry, c)
-                w, _ = carry
-            else:  # pragma: no cover - degenerate colorings only
-                (w, _), _ = lax.scan(
-                    color_pass, (w, resid), jnp.arange(self.n_colors)
-                )
+            # scan over colors with the stacked tables as xs: the body reads
+            # per-color slices via dynamic-slice (no captured-table re-copy
+            # per iteration — the earlier unroll existed to dodge exactly
+            # that pathology for CAPTURED tables) and the compiled program
+            # holds one color body instead of n_colors copies.
+            (w, _), _ = lax.scan(color_pass, (w, resid), xs)
         return w
 
     def _update_w_sequential(self, key, w, b, f, sigma2, tau2, beta):
@@ -450,9 +466,8 @@ class LatentNNGP:
         sh = self._sharded
         with jax.named_scope("chromatic_w_sharded"):
             return self._sh_chrom(
-                sh["csites"], sh["csmask"], w, resid, eps, b,
-                vd.nn_idx, vd.nn_mask, self.child_idx, b_child, fp_child,
-                v, sd, ytil, fprec,
+                sh["csites"], sh["csmask"], w, resid, eps,
+                self.child_idx, b_child, fp_child, v, sd, ytil, fprec,
             )
 
     # ---- likelihood pieces --------------------------------------------
@@ -492,8 +507,37 @@ class LatentNNGP:
     def _theta_logpost(self, theta_u, w, sigma2):
         b, f, logdet, quad = self._suffstats(theta_u, w)
         nat = self._natural(theta_u)
-        value = -0.5 * (logdet + quad / sigma2) + self._log_prior_theta(theta_u, nat)
+        if self.collapsed:
+            value = self._collapsed_value(theta_u, nat, logdet, quad)
+        else:
+            value = -0.5 * (logdet + quad / sigma2) + self._log_prior_theta(
+                theta_u, nat
+            )
         return value, {"b": b, "f": f, "logdet": logdet, "quad": quad}
+
+    def _collapsed_value(self, theta_u, nat, logdet, quad):
+        """Metropolis target for theta with sigma2 integrated out.
+
+        p(w | phi, sigma2) p(sigma2) carries sigma2 only as
+        sigma2^{-(a_s + n/2 + 1)} exp(-(b_s + quad_phi(w)/2) / sigma2), so
+        the marginal over the IG(a_s, b_s) prior is Gamma(A) B^{-A} with
+        A = a_s + n/2, B = b_s + quad/2.  Walking phi against this MARGINAL
+        instead of the sigma2-conditioned target kills the (sigma2, phi)
+        ridge (measured at n=10k/8 chains: min-ESS 8.6 over 32k draws,
+        R-hat 1.88 — phi could barely move at fixed sigma2); redrawing
+        sigma2 ~ IG(A, B) from the POST-theta quad afterwards makes the
+        (phi, sigma2) pair one exact joint conditional draw
+        (partially-collapsed Gibbs — stationary distribution unchanged).
+        Mirrors the response model's collapsed block (models/response.py
+        _collapsed_value); the reference's updateTheta conditions on
+        sigma2 (SURVEY.md section 3.2) and cannot express this."""
+        a_big = self.priors["sigma2"].a + 0.5 * self.n
+        b_big = self.priors["sigma2"].b + 0.5 * quad
+        return (
+            -0.5 * logdet
+            - a_big * jnp.log(b_big)
+            + self._log_prior_theta(theta_u, nat)
+        )
 
     def loglik(self, state: LatentState):
         """Marginal-ish record: p(y | w, tau2) + p(w | theta, sigma2)."""
@@ -559,16 +603,23 @@ class LatentNNGP:
             upd = self._update_w_sequential
         w = upd(k_w, state.w, state.b, state.f, state.sigma2, state.tau2, state.beta)
 
-        # 2. sigma2 | w, theta (reference updateSigmaSq): quad of w under unit B/F
+        # 2. sigma2 | w, theta (reference updateSigmaSq): quad of w under unit
+        # B/F.  In collapsed mode sigma2 is instead drawn AFTER the theta
+        # sweep from the post-theta quad (partially-collapsed Gibbs — the
+        # (theta, sigma2) pair becomes one joint conditional draw; see
+        # _collapsed_value), so this conditional draw is skipped.
         w_nbr = jnp.take(w, vd.nn_idx, axis=0) * vd.nn_mask.astype(w.dtype)
         resid_w = w - jnp.sum(state.b * w_nbr, axis=-1)
         quad_w = jnp.sum(resid_w * resid_w / state.f)
         pr_s = self.priors["sigma2"]
-        sigma2 = sample_inverse_gamma(
-            k_sig,
-            jnp.asarray(pr_s.a + 0.5 * self.n, self.dtype),
-            pr_s.b + 0.5 * quad_w,
-        )
+        if self.collapsed:
+            sigma2 = state.sigma2  # replaced post-theta below
+        else:
+            sigma2 = sample_inverse_gamma(
+                k_sig,
+                jnp.asarray(pr_s.a + 0.5 * self.n, self.dtype),
+                pr_s.b + 0.5 * quad_w,
+            )
 
         # 3. tau2 | w, beta (reference updateTauSq); heterogeneous noise
         # tau2 * v_i stays IG-conjugate with weighted residuals
@@ -593,15 +644,31 @@ class LatentNNGP:
             eps = jax.random.normal(k_beta, (self.p,), self.dtype)
             beta = mean + jax.scipy.linalg.solve_triangular(chol_p.T, eps, lower=False)
 
-        # 5. theta | w, sigma2 (reference updateTheta): RW Metropolis
-        value = -0.5 * (state.logdet + quad_w / sigma2) + self._log_prior_theta(
-            state.theta_u, self._natural(state.theta_u)
-        )
+        # 5. theta | w (reference updateTheta): RW Metropolis — against the
+        # sigma2-collapsed marginal by default, the sigma2-conditioned
+        # reference target with collapsed=False
+        if self.collapsed:
+            value = self._collapsed_value(
+                state.theta_u, self._natural(state.theta_u), state.logdet,
+                quad_w,
+            )
+        else:
+            value = -0.5 * (
+                state.logdet + quad_w / sigma2
+            ) + self._log_prior_theta(state.theta_u, self._natural(state.theta_u))
         aux = {"b": state.b, "f": state.f, "logdet": state.logdet, "quad": quad_w}
         logpost = lambda u: self._theta_logpost(u, w, sigma2)
         theta_u, value, aux, aprobs = rw_sweep(
             k_theta, state.theta_u, value, aux, logpost, state.log_steps
         )
+        if self.collapsed:
+            # exact conjugate draw from the post-theta quad completes the
+            # joint (theta, sigma2) conditional
+            sigma2 = sample_inverse_gamma(
+                k_sig,
+                jnp.asarray(pr_s.a + 0.5 * self.n, self.dtype),
+                pr_s.b + 0.5 * aux["quad"],
+            )
 
         log_steps = adapt_log_step(state.log_steps, aprobs, state.iteration, n_adapt)
         return LatentState(
@@ -645,9 +712,19 @@ class LatentNNGP:
         seed: int = 0,
         init: Optional[dict] = None,
         collect_w: bool = True,
+        w_every: int = 1,
         jit: bool = True,
         **driver_kwargs,
     ):
+        """Metropolis-within-Gibbs sampling (reference ``sample(N)``).
+
+        ``w_every=k`` keeps every k-th draw of the (n,)-sized latent
+        surface while hyperparameter draws stay per-iteration: the w chain
+        dominates transfer/storage (n floats per draw per chain — e.g.
+        320 MB at n=10k, 8 chains, 1000 draws), and the kept rows are
+        bit-identical to an unthinned run's (RNG/state untouched; the
+        slicing happens on device before any readback).  ``draws["w"]``
+        then has ceil(n_samples / k) rows per chain."""
         from pynngp_tpu.models.base import run_chains_chunked
         from pynngp_tpu.utils.numerics import warn_if_x64_off
 
@@ -668,6 +745,7 @@ class LatentNNGP:
             n_samples,
             n_burn,
             thin,
+            collect_every={"w": w_every} if collect_w and w_every > 1 else None,
             **driver_kwargs,
         )
         if n_chains == 1:

@@ -347,42 +347,56 @@ def make_sharded_chromatic(mesh: Mesh, n_colors: int):
     (SURVEY.md section 5.7).  The O(n m^3) build is sharded separately in
     :func:`make_sharded_bf`.
 
-    Returns fn(csites, csmask, w, resid, eps, b, nn_idx, nn_mask, child_idx,
-    b_child, fp_child, v, sd, ytil, fprec) -> new replicated w.
+    Returns fn(csites, csmask, w, resid, eps, child_idx, b_child, fp_child,
+    v, sd, ytil, fprec) -> new replicated w.
     """
 
-    def impl(csites, csmask, w, resid, eps, b, nn_idx, nn_mask, child_idx,
+    def impl(csites, csmask, w, resid, eps, child_idx,
              b_child, fp_child, v, sd, ytil, fprec):
         n = w.shape[0]
+        # Same restructure as the single-device sweep (models/latent.py):
+        # stack every w-independent per-site quantity into this shard's
+        # color-major layout with one gather each, and derive the own-site
+        # conditional mean from the maintained residual invariant
+        # mu_own = w_i - r_i instead of a per-color (msz, m) neighbor
+        # gather.  Keeping the two sweeps formula-identical preserves the
+        # sharded == single parity (modulo psum reduction order).
+        cs = csites[0]  # (n_colors, msz) this shard's partitions
+        xs = (
+            cs,
+            csmask[0].astype(w.dtype),
+            jnp.take(b_child, cs, axis=0),
+            jnp.take(fp_child, cs, axis=0),
+            jnp.take(child_idx, cs, axis=0),
+            jnp.take(v, cs), jnp.take(sd, cs), jnp.take(eps, cs),
+            jnp.take(ytil, cs), jnp.take(fprec, cs),
+        )
 
-        def color_pass(carry, c):
+        def color_pass(carry, x):
             w, resid = carry
-            sites = csites[0, c]  # (msz,) this shard's color-c sites
-            smask = csmask[0, c].astype(w.dtype)
-            nn_s = nn_idx[sites]
-            nm_s = nn_mask[sites].astype(w.dtype)
-            mu_own = jnp.sum(b[sites] * jnp.take(w, nn_s) * nm_s, axis=-1)
-            ci_s = child_idx[sites]
-            bc_s = b_child[sites]
-            fp_s = fp_child[sites]
-            w_s = w[sites]
+            sites, smask, bc_s, fp_s, ci_s, v_s, sd_s, eps_s, ytil_s, fprec_s = x
+            w_s = jnp.take(w, sites)
+            mu_own = w_s - jnp.take(resid, sites)
             resid_excl = jnp.take(resid, ci_s) + bc_s * w_s[:, None]
-            rhs = ytil[sites] + mu_own * fprec[sites] + jnp.sum(
+            rhs = ytil_s + mu_own * fprec_s + jnp.sum(
                 bc_s * fp_s * resid_excl, axis=-1
             )
-            w_new = v[sites] * rhs + sd[sites] * eps[sites]
+            w_new = v_s * rhs + sd_s * eps_s
             delta = (w_new - w_s) * smask  # pad slots contribute 0
             # one stacked (2, n) psum per color: dw and dresid deltas
             dz = jnp.zeros((2, n), w.dtype)
             dz = dz.at[0, sites].add(delta)
-            dz = dz.at[1, sites].add(delta)
             # each child j of a color-c site has exactly one parent in c;
             # masked child slots carry b_child = 0
-            dz = dz.at[1, ci_s].add(-bc_s * delta[:, None])
+            idx = jnp.concatenate([sites, ci_s.reshape(-1)])
+            upd = jnp.concatenate(
+                [delta, (-bc_s * delta[:, None]).reshape(-1)]
+            )
+            dz = dz.at[1, idx].add(upd)
             dz = lax.psum(dz, "sites")
             return (w + dz[0], resid + dz[1]), None
 
-        (w, _), _ = lax.scan(color_pass, (w, resid), jnp.arange(n_colors))
+        (w, _), _ = lax.scan(color_pass, (w, resid), xs)
         return w
 
     return shard_map(
@@ -392,6 +406,6 @@ def make_sharded_chromatic(mesh: Mesh, n_colors: int):
         in_specs=(
             P("sites", None, None),  # csites
             P("sites", None, None),  # csmask
-        ) + (P(),) * 13,
+        ) + (P(),) * 10,
         out_specs=P(),
     )

@@ -94,3 +94,42 @@ def test_latent_with_covariates(rng):
     draws = model.sample(n_samples=300, n_burn=300, seed=8, collect_w=False)
     beta_mean = draws["beta"].mean(axis=0)
     assert abs(beta_mean[1] - beta_true[1]) < 0.3  # slope identifiable
+
+
+def test_w_every_thinning_bit_identical(rng):
+    """w_every thins only the collected w rows (device-side slice before
+    readback): kept rows and every hyperparameter draw are bit-identical
+    to the unthinned run (RNG/state untouched)."""
+    coords, w_true, y = simulate_gp_field(rng, n=120, name="exponential")
+    model = LatentNNGP(coords, y, kernel="exponential", m=6, dtype=jnp.float64)
+    full = model.sample(40, n_burn=20, n_chains=2, seed=3, collect_w=True)
+    thin = model.sample(
+        40, n_burn=20, n_chains=2, seed=3, collect_w=True, w_every=4
+    )
+    assert thin["w"].shape[1] == 10  # ceil(40 / 4)
+    np.testing.assert_array_equal(thin["w"], full["w"][:, ::4])
+    np.testing.assert_array_equal(thin["sigma2"], full["sigma2"])
+    np.testing.assert_array_equal(thin["phi"], full["phi"])
+
+
+def test_collapsed_theta_same_posterior(rng):
+    """The sigma2-collapsed theta block (partially-collapsed Gibbs) targets
+    the same joint posterior as the reference's sigma2-conditioned
+    updateTheta (collapsed=False)."""
+    coords, w_true, y = simulate_gp_field(
+        rng, n=150, name="exponential", sigma2=1.0, phi=0.3, tau2=0.1
+    )
+    res = {}
+    for mode in (True, False):
+        model = LatentNNGP(
+            coords, y, kernel="exponential", m=6, dtype=jnp.float64,
+            collapsed=mode,
+        )
+        res[mode] = model.sample(600, n_burn=400, seed=11, collect_w=True)
+    for name in ("sigma2", "tau2", "phi"):
+        a, b = res[True][name], res[False][name]
+        se = np.sqrt(a.var() / 50 + b.var() / 50)  # crude MCSE floor
+        assert abs(a.mean() - b.mean()) < 5 * se + 0.05 * abs(b.mean()), name
+    wa = res[True]["w"].mean(axis=0)
+    wb = res[False]["w"].mean(axis=0)
+    assert np.corrcoef(wa, wb)[0, 1] > 0.98
