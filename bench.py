@@ -128,14 +128,14 @@ def main():
         help="ess mode: which sampler to run; 'best' runs both and reports "
         "the higher converged ESS/sec",
     )
-    # 48k draws x 16 chains: vmapped chains share the table streams inside
-    # the fused kernel, so 4x the chains costs only ~2x wall (measured
-    # 4,870 samples/s at 4 chains -> 9,480 at 16), and ESS pools across
-    # chains; the long run amortizes the ~30-40 s MAP-fit compile that
-    # otherwise dominates (the persistent cache misses across processes on
-    # the tunneled platform).  Measured: ~25-30 converged ESS/sec all-in.
-    p.add_argument("--mwg-samples", type=int, default=48000)
-    p.add_argument("--mwg-burn", type=int, default=1000)
+    # 16 vmapped chains share the table streams inside the fused kernel
+    # (4x the chains costs only ~2x wall; 32 chains saturate).  The
+    # measurement run uses the independence-MH mixture fitted from a pilot
+    # RW run (~5 iterations/ESS vs ~125 for the correlated RW), so 6k
+    # draws/chain already yield min-ESS in the thousands; the extend loop
+    # doubles the budget if the R-hat gate fails.
+    p.add_argument("--mwg-samples", type=int, default=6000)
+    p.add_argument("--mwg-burn", type=int, default=500)
     p.add_argument("--mwg-chains", type=int, default=16)
     p.add_argument(
         "--mwg-max-extend", type=int, default=3,
@@ -370,6 +370,7 @@ def bench_ess(args):
     for want of ~3 minutes of extra draws.
     """
     jax = _configure_jax()
+    import jax.numpy as jnp
 
     import pynngp_tpu as pn
 
@@ -441,16 +442,49 @@ def bench_ess(args):
             "phi": float(model._t_phi.forward(mp.u[1])),
             "alpha": float(tau0 / sig0),
         }
+        n_ch = args.mwg_chains
+        # PILOT: a short correlated-RW run whose pooled u-space moments fit
+        # the independence proposal for the measurement run.  The Laplace
+        # numbers from fit_map cannot serve: the Adam MAP stalls ~6
+        # posterior sds off the mode at n=100k (fp32 gradient noise), so
+        # MAP-centered independence proposals measured 0.5% acceptance vs
+        # 32% from pilot moments.
+        t0 = time.time()
+        pilot = model.sample(
+            1200, n_burn=800, n_chains=n_ch, init=init, seed=101,
+            proposal_cov=model.theta_proposal_cov(mp.laplace_cov),
+        )
+        u_cols = [
+            np.asarray(
+                model._t_phi.inverse(jnp.asarray(pilot["phi"]))
+            ).ravel(),
+            np.log(
+                np.asarray(pilot["tau2"]) / np.asarray(pilot["sigma2"])
+            ).ravel(),
+        ]
+        if model._sample_nu:
+            u_cols.append(
+                np.asarray(
+                    model._t_nu.inverse(jnp.asarray(pilot["nu"]))
+                ).ravel()
+            )
+        u_pilot = np.stack(u_cols, axis=1)
+        emp_cov = np.cov(u_pilot.T) * 1.2  # slight inflation: tail safety
+        emp_mean = u_pilot.mean(axis=0)
+        pilot_s = time.time() - t0
+        print(
+            f"# ess-mode[mwg] pilot {n_ch}x1200 in {pilot_s:.1f}s",
+            file=sys.stderr,
+        )
         n_draws = args.mwg_samples
         burn = args.mwg_burn
-        n_ch = args.mwg_chains
-        dt = 0.0
+        dt = pilot_s
         for attempt in range(args.mwg_max_extend + 1):
             t0 = time.time()
             draws = model.sample(
                 n_draws, n_burn=burn, n_chains=n_ch,
                 init=init, seed=attempt,
-                proposal_cov=model.theta_proposal_cov(mp.laplace_cov),
+                proposal_cov=emp_cov, proposal_center=emp_mean,
             )
             dt += time.time() - t0
             min_ess, max_rhat = _chain_stats(draws, n_ch)

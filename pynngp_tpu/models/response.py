@@ -32,6 +32,7 @@ from pynngp_tpu.models.base import prepare_spatial_data, run_chains, run_mcmc
 from pynngp_tpu.priors import InverseGamma, Uniform, log_transform, logit_transform
 from pynngp_tpu.samplers.mwg import (
     adapt_log_step,
+    mh_indep_mix,
     rw_joint,
     rw_joint_corr,
     rw_sweep,
@@ -521,13 +522,20 @@ class ResponseNNGP:
         )
 
     def step(self, key, state: ResponseState, n_adapt: int = 10**9,
-             prop_chol=None):
+             prop_chol=None, prop_center=None):
         k_theta, k_sig, k_beta = jax.random.split(key, 3)
 
         # 1. Metropolis block on (phi, alpha[, nu]) | sigma2, beta
         logpost = lambda u: self._theta_logpost(u, state.sigma2, state.beta)
         aux = {"b": state.b, "f": state.f, "logdet": state.logdet, "quad": state.quad}
-        if prop_chol is not None:
+        if prop_center is not None:
+            # independence-MH mixture from the MAP/Laplace t fit — near-iid
+            # theta draws when the fit matches (samplers/mwg.py)
+            theta_u, value, aux, aprobs = mh_indep_mix(
+                k_theta, state.theta_u, state.value, aux, logpost,
+                prop_center, prop_chol, state.log_steps[0], target=0.3,
+            )
+        elif prop_chol is not None:
             # correlated joint proposal (ridge-shaped theta block)
             theta_u, value, aux, aprobs = rw_joint_corr(
                 k_theta, state.theta_u, state.value, aux, logpost,
@@ -1022,6 +1030,16 @@ class ResponseNNGP:
             t[2, 3] = 1.0
         return t @ c @ t.T
 
+    def theta_proposal_center(self, u_map):
+        """Project the full-u MAP point onto the Metropolis theta block —
+        the independence-proposal location for sample(proposal_center=...)
+        (same linear map as theta_proposal_cov)."""
+        u = np.asarray(u_map)
+        out = [u[1], u[2] - u[0]]
+        if self._sample_nu:
+            out.append(u[3])
+        return np.asarray(out)
+
     def sample(
         self,
         n_samples: int,
@@ -1031,6 +1049,7 @@ class ResponseNNGP:
         seed: int = 0,
         init: Optional[dict] = None,
         proposal_cov=None,
+        proposal_center=None,
         jit: bool = True,
         **driver_kwargs,
     ):
@@ -1041,7 +1060,10 @@ class ResponseNNGP:
         ``proposal_cov``: optional (k, k) theta-block covariance (see
         theta_proposal_cov) switching the Metropolis block to correlated
         joint proposals — what mixes across the (phi, alpha) ridge at
-        large n."""
+        large n.  ``proposal_center`` (with ``proposal_cov``): theta-block
+        MAP point (theta_proposal_center) switching to the
+        independence-MH/RW mixture kernel (mwg.mh_indep_mix) — near-iid
+        theta draws when the Laplace fit matches the posterior."""
         from pynngp_tpu.models.base import run_chains_chunked
         from pynngp_tpu.utils.numerics import warn_if_x64_off
 
@@ -1055,8 +1077,16 @@ class ResponseNNGP:
             else jnp.asarray(np.linalg.cholesky(np.asarray(proposal_cov)),
                              self.dtype)
         )
+        prop_center = (
+            None if proposal_center is None
+            else jnp.asarray(proposal_center, self.dtype)
+        )
+        if prop_center is not None and prop_chol is None:
+            raise ValueError("proposal_center requires proposal_cov")
         key = jax.random.PRNGKey(seed)
-        step = lambda k, s: self.step(k, s, n_adapt=n_burn, prop_chol=prop_chol)
+        step = lambda k, s: self.step(
+            k, s, n_adapt=n_burn, prop_chol=prop_chol, prop_center=prop_center
+        )
         _, draws = run_chains_chunked(
             key,
             lambda k: self.init_state(k, init),

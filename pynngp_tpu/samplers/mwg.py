@@ -119,6 +119,69 @@ def rw_joint_corr(key, theta_u, value, aux, logpost_fn, log_scale, chol_cov):
     return theta_u, value, aux, jnp.full(theta_u.shape, aprob)
 
 
+def mh_indep_mix(
+    key,
+    theta_u,
+    value,
+    aux,
+    logpost_fn: Callable,
+    center,
+    chol_cov,
+    log_scale,
+    df: float = 7.0,
+    p_indep: float = 0.8,
+    target: float = 0.44,
+):
+    """Mixture Metropolis kernel: INDEPENDENCE proposals from a fitted
+    multivariate-t (probability ``p_indep``) + correlated random-walk moves
+    (otherwise).
+
+    At n = 100k the 2-3 parameter posterior is near-Gaussian by
+    concentration, and a random walk — even Laplace-shaped — needs ~125
+    iterations per effective sample (measured: min-ESS 6128 from 768k
+    draws).  An independence proposal q = t_df(center, scale @ chol_cov)
+    fitted at the MAP/Laplace point draws near-iid samples when it matches
+    (acceptance ~ target density ratio), collapsing the autocorrelation
+    time toward 1; the t's heavy tails dominate the Gaussian-ish target so
+    rejections stay local, and mixing in RW moves keeps the kernel
+    exploring even where the fit is off (each component is a valid MH
+    kernel for the same target, so the mixture is too — the stationary
+    distribution is exactly unchanged).
+
+    One logpost eval per step regardless of component: the proposal POINT
+    is selected before evaluation, and the q-correction (q(u)/q(u') for
+    independence, 0 for symmetric RW) is selected with it.  Returns
+    (theta_u, value, aux, accept_probs_for_adaptation) — the adaptation
+    vector reports ``target`` on independence steps so the RW scale only
+    adapts from its own moves.
+    """
+    k_sel, k_chi, k_prop, k_acc = jax.random.split(key, 4)
+    d = theta_u.shape[0]
+    dt = theta_u.dtype
+    dfj = jnp.asarray(df, dt)
+
+    def t_logq(u):
+        z = jax.scipy.linalg.solve_triangular(
+            chol_cov, u - center, lower=True
+        )
+        return -0.5 * (dfj + d) * jnp.log1p(jnp.sum(z * z) / dfj)
+
+    eps = jax.random.normal(k_prop, (d,), dt)
+    chi2 = 2.0 * jax.random.gamma(k_chi, jnp.asarray(df / 2.0, dt), dtype=dt)
+    prop_ind = center + (chol_cov @ eps) * jnp.sqrt(dfj / chi2)
+    prop_rw = theta_u + jnp.exp(log_scale) * (chol_cov @ eps)
+    use_ind = jax.random.uniform(k_sel, dtype=dt) < p_indep
+    prop = jnp.where(use_ind, prop_ind, prop_rw)
+    corr = jnp.where(use_ind, t_logq(theta_u) - t_logq(prop), 0.0)
+    prop_value, prop_aux = logpost_fn(prop)
+    accept, aprob = _mh_accept(k_acc, prop_value - value + corr)
+    theta_u = jnp.where(accept, prop, theta_u)
+    value = jnp.where(accept, prop_value, value)
+    aux = jax.tree.map(lambda p, c: jnp.where(accept, p, c), prop_aux, aux)
+    aprob_adapt = jnp.where(use_ind, jnp.asarray(target, dt), aprob)
+    return theta_u, value, aux, jnp.full((d,), aprob_adapt)
+
+
 def adapt_log_step(log_steps, accept_probs, iteration, n_adapt, target=0.44):
     """Diminishing Robbins-Monro adaptation of RW step sizes during burn-in."""
     gamma = (iteration.astype(log_steps.dtype) + 1.0) ** -0.6

@@ -140,3 +140,36 @@ def test_collapsed_corr_proposals_match_nuts(rng):
         assert abs(a.mean() - b.mean()) < 5 * se + 0.05 * abs(b.mean()), (
             k, a.mean(), b.mean(), se
         )
+
+
+def test_indep_mix_proposals_same_posterior(rng):
+    """The independence-MH/RW mixture kernel (sample(proposal_center=...))
+    targets the same posterior as the correlated-RW kernel, with higher
+    ESS per draw when the Laplace fit matches."""
+    import jax.numpy as jnp
+    from pynngp_tpu.gold.dense_gp import dense_cov
+
+    coords = rng.uniform(size=(300, 2))
+    c = dense_cov(coords, "exponential", 1.0, 0.3, 0.0)
+    w = np.linalg.cholesky(c + 1e-10 * np.eye(300)) @ rng.standard_normal(300)
+    y = w + np.sqrt(0.1) * rng.standard_normal(300)
+    model = ResponseNNGP(coords, y, kernel="exponential", m=8,
+                         dtype=jnp.float64)
+    mp = model.fit_map(n_steps=300)
+    pcov = model.theta_proposal_cov(mp.laplace_cov)
+    init = {"phi": float(model._t_phi.forward(mp.u[1]))}
+    d_rw = model.sample(4000, n_burn=1000, seed=1, init=init,
+                        proposal_cov=pcov)
+    d_ix = model.sample(4000, n_burn=1000, seed=3, init=init,
+                        proposal_cov=pcov,
+                        proposal_center=model.theta_proposal_center(mp.u))
+    from pynngp_tpu.diagnostics import ess
+
+    for k in ("phi", "sigma2", "tau2"):
+        a, b = np.asarray(d_ix[k]), np.asarray(d_rw[k])
+        ea, eb = ess(a[None]), ess(b[None])
+        assert ea > 100, (k, ea)
+        se = np.hypot(a.std() / np.sqrt(ea), b.std() / np.sqrt(eb))
+        assert abs(a.mean() - b.mean()) < 5 * se + 0.05 * abs(b.mean()), (
+            k, a.mean(), b.mean(), se
+        )
