@@ -737,11 +737,22 @@ def bench_configs(args):
         y = w + 0.3 * g1.standard_normal(n1)
         mod1 = pn.ResponseNNGP(coords, y, kernel="sqexp", m=10)
         n_draws = 4000 if not args.quick else 100
+        # pilot RW -> independence-MH mixture, like the flagship ESS bench
+        t_p = time.time()
+        pilot = mod1.sample(600, n_burn=400, n_chains=4, seed=101)
+        u_p = np.stack([
+            np.asarray(mod1._t_phi.inverse(np.asarray(pilot["phi"]))).ravel(),
+            np.log(np.asarray(pilot["tau2"])
+                   / np.asarray(pilot["sigma2"])).ravel(),
+        ], axis=1)
+        pilot_s = time.time() - t_p
         for attempt in range(3):  # size the run to the R-hat gate
             t0 = time.time()
             draws = mod1.sample(n_draws, n_burn=n_draws // 4,
-                                n_chains=4, seed=attempt)
-            dt = time.time() - t0
+                                n_chains=4, seed=attempt,
+                                proposal_cov=np.cov(u_p.T) * 1.2,
+                                proposal_center=u_p.mean(axis=0))
+            dt = time.time() - t0 + pilot_s
             me = min(ess(np.asarray(draws[k])) for k in ("sigma2", "tau2", "phi"))
             rh = max(split_rhat(np.asarray(draws[k]))
                      for k in ("sigma2", "tau2", "phi"))
