@@ -517,6 +517,14 @@ def bench_ess(args):
                 "sampler": name,
                 "rhat_max": round(rhat, 4),
                 "converged": ok,
+                # every sampler's own line (e.g. the converged NUTS
+                # evidence survives even when MWG carries the headline)
+                "candidates": {
+                    c[0]: {"ess_per_sec": round(c[1], 3),
+                           "rhat_max": round(c[2], 4),
+                           "converged": bool(c[2] <= 1.05)}
+                    for c in candidates
+                },
                 **({} if ok else {"value_unconverged": round(rate, 3)}),
             }
         ),
