@@ -18,6 +18,13 @@ construct -> sample -> predict -> summarize loop:
 Run: python examples/image_kriging.py [--n-train 20000] [--sampler mwg]
 """
 
+import os
+import sys
+
+# runnable as `python examples/<name>.py` from anywhere without an
+# installed package: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 

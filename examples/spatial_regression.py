@@ -6,6 +6,13 @@ sampler families, predict held-out sites, compare against exact kriging.
 Run: python examples/spatial_regression.py [--n 2000] [--sampler nuts]
 """
 
+import os
+import sys
+
+# runnable as `python examples/<name>.py` from anywhere without an
+# installed package: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 
