@@ -40,6 +40,7 @@ from pynngp_tpu.kernels import Matern, get_kernel
 from pynngp_tpu.models.base import prepare_spatial_data, run_chains
 from pynngp_tpu.neighbors import (
     build_children_table,
+    color_child_pairs,
     color_moral_graph,
     color_site_table,
 )
@@ -218,6 +219,14 @@ class LatentNNGP:
             "child_mask": jnp.asarray(ch.child_mask),
             "color_sites": jnp.asarray(sites),  # (n_colors, max_sz)
             "color_smask": jnp.asarray(smask),
+            # packed per-color (parent, child) pair tables: the sweep's
+            # child traffic without the global-max-child-count padding
+            "cpairs": tuple(
+                jnp.asarray(a)
+                for a in color_child_pairs(
+                    colors, sites, smask, ch.child_idx, ch.child_mask
+                )
+            ),
             "sharded": sharded,
         })
 
@@ -278,6 +287,10 @@ class LatentNNGP:
     @property
     def color_smask(self):
         return self._big()["color_smask"]
+
+    @property
+    def cpairs(self):
+        return self._big()["cpairs"]
 
     @property
     def _sharded(self):
@@ -359,45 +372,50 @@ class LatentNNGP:
         resid = w - jnp.sum(b * w_nbr, axis=-1)
         eps = jax.random.normal(key, w.shape, w.dtype)
 
-        # Stack every w-INDEPENDENT per-site quantity into color-major
-        # (n_colors, max_sz, ...) layout with ONE gather each, instead of
-        # re-gathering per color: the sweep was 91% of the latent step
-        # (11.5 of 12.65 ms at n=10k, 38 colors) and almost all of it was
-        # per-op gather/scatter overhead, not compute.  The w-DEPENDENT
-        # conditional mean needs no (max_sz, m) neighbor gather at all:
-        # resid is maintained as exactly r_i = w_i - B_i . w_N(i) under
-        # current w, so mu_own = w_i - r_i.
+        # The sweep was 91% of the latent step (11.5 of 12.65 ms at n=10k,
+        # 38 colors), dominated by child-structure gather/scatter traffic.
+        # Three structural moves:
+        #   1. mu_own needs no (msz, m) neighbor gather: resid is maintained
+        #      as exactly r_i = w_i - B_i . w_N(i), so mu_own = w_i - r_i.
+        #   2. every w-independent per-site vector is stacked into
+        #      color-major layout with ONE gather per sweep, not per color.
+        #   3. child work runs on PACKED (parent, child) pair tables
+        #      (neighbors.color_child_pairs): the (n, max_c) child table
+        #      pads to the global max child count (61 at n=10k/m=15, mean
+        #      15), so dense per-color child rows moved ~4x more slots
+        #      than exist.
         cs = self.color_sites  # (n_colors, max_sz)
+        pp, pc, pf, pm = self.cpairs  # (C, P) packed pair tables
+        pmf = pm.astype(w.dtype)
         xs = (
             cs,
             self.color_smask.astype(w.dtype),
-            jnp.take(b_child, cs, axis=0),       # (C, msz, max_c)
-            jnp.take(fp_child, cs, axis=0),
-            jnp.take(self.child_idx, cs, axis=0),
+            pp, pc,
+            jnp.take(b_child.reshape(-1), pf) * pmf,  # per-pair B_{j,slot}
+            jnp.take(fp_child.reshape(-1), pf),
             jnp.take(v, cs), jnp.take(sd, cs), jnp.take(eps, cs),
             jnp.take(ytil, cs), jnp.take(fprec, cs),
         )
 
         def color_pass(carry, x):
             w, resid = carry
-            sites, smask, bc_s, fp_s, ci_s, v_s, sd_s, eps_s, ytil_s, fprec_s = x
+            (sites, smask, pp_c, pc_c, bcp, fpp,
+             v_s, sd_s, eps_s, ytil_s, fprec_s) = x
             w_s = jnp.take(w, sites)
             mu_own = w_s - jnp.take(resid, sites)  # B_i . w_N(i), current w
-            resid_excl = jnp.take(resid, ci_s) + bc_s * w_s[:, None]
-            rhs = ytil_s + mu_own * fprec_s + jnp.sum(
-                bc_s * fp_s * resid_excl, axis=-1
-            )
+            # child term: sum over pairs of B_{j,l} fp_j (r_j + B_{j,l} w_i)
+            rexcl = jnp.take(resid, pc_c) + bcp * jnp.take(w_s, pp_c)
+            child_sum = jnp.zeros_like(w_s).at[pp_c].add(bcp * fpp * rexcl)
+            rhs = ytil_s + mu_own * fprec_s + child_sum
             w_new = v_s * rhs + sd_s * eps_s
             delta = (w_new - w_s) * smask  # pad slots contribute 0
             w = w.at[sites].add(delta)
             # one fused scatter-add: own-site delta + the child updates
             # (each child j of a color-c site has exactly one parent in c,
             # and children are never color-c, so all live indices are
-            # distinct; masked child slots carry b_child = 0)
-            idx = jnp.concatenate([sites, ci_s.reshape(-1)])
-            upd = jnp.concatenate(
-                [delta, (-bc_s * delta[:, None]).reshape(-1)]
-            )
+            # distinct; pad pairs carry bcp = 0)
+            idx = jnp.concatenate([sites, pc_c])
+            upd = jnp.concatenate([delta, -bcp * jnp.take(delta, pp_c)])
             resid = resid.at[idx].add(upd)
             return (w, resid), None
 

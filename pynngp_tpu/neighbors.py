@@ -552,3 +552,66 @@ def color_site_table(colors: np.ndarray):
         sites[c, : len(g)] = g
         mask[c, : len(g)] = True
     return sites, mask
+
+
+def color_child_pairs(colors, sites, smask, child_idx, child_mask,
+                      n_shards: int = 0):
+    """Packed (parent, child) pair tables per color for the chromatic sweep.
+
+    The per-site child table pads every row to the GLOBAL max child count
+    (61 at n=10k/m=15 vs mean m=15), so the sweep's child gathers/scatters
+    moved ~4x more slots than exist.  Packing each color's live pairs into
+    one flat padded row removes that: per color c the tables hold, for
+    every (parent i in color c, child j) pair,
+      pp: parent's position within the color-c site row,
+      pc: child site id j (global),
+      pf: flat index i * max_c + slot into the (n, max_c) per-step child
+          value tables (b_child/fp_child .ravel()),
+      pm: validity (pads carry 0).
+    Row length = max over colors of live-pair count (~msz * m).
+
+    With ``n_shards`` > 0 the tables follow :func:`shard_color_tables`'s
+    round-robin partitions instead: shard s owns every parent at position
+    t with t % n_shards == s, at shard-row position t // n_shards; returns
+    (n_shards, n_colors, P) arrays.
+    """
+    n_colors, msz = sites.shape
+    n, max_c = child_idx.shape
+    pos = np.zeros(n, np.int64)
+    for c in range(n_colors):
+        row = sites[c][smask[c]]
+        pos[row] = np.arange(len(row))
+    ii, kk = np.nonzero(child_mask)  # every live pair, parent-ascending
+    jj = child_idx[ii, kk]
+    cc = colors[ii]
+    if n_shards:
+        ss = pos[ii] % n_shards
+        ppos = pos[ii] // n_shards
+        key = cc * n_shards + ss
+        n_rows = n_colors * n_shards
+    else:
+        ppos = pos[ii]
+        key = cc
+        n_rows = n_colors
+    order = np.argsort(key, kind="stable")
+    counts = np.bincount(key, minlength=n_rows)
+    p_max = max(int(counts.max()), 1)
+    shape = (n_rows, p_max)
+    pp = np.zeros(shape, np.int32)
+    pc = np.zeros(shape, np.int32)
+    pf = np.zeros(shape, np.int32)
+    pm = np.zeros(shape, bool)
+    off = np.concatenate([[0], np.cumsum(counts)])
+    io, jo, ko, po = ii[order], jj[order], kk[order], ppos[order]
+    for r in range(n_rows):
+        sl = slice(off[r], off[r + 1])
+        ln = int(counts[r])
+        pp[r, :ln] = po[sl]
+        pc[r, :ln] = jo[sl]
+        pf[r, :ln] = io[sl] * max_c + ko[sl]
+        pm[r, :ln] = True
+    if n_shards:
+        # (color * S + shard) rows -> (shard, color, P)
+        resh = lambda a: a.reshape(n_colors, n_shards, p_max).swapaxes(0, 1)
+        return resh(pp), resh(pc), resh(pf), resh(pm)
+    return pp, pc, pf, pm
