@@ -450,8 +450,9 @@ def bench_ess(args):
         # MAP-centered independence proposals measured 0.5% acceptance vs
         # 32% from pilot moments.
         t0 = time.time()
+        n_pilot, n_pburn = (1200, 800) if not args.quick else (100, 60)
         pilot = model.sample(
-            1200, n_burn=800, n_chains=n_ch, init=init, seed=101,
+            n_pilot, n_burn=n_pburn, n_chains=n_ch, init=init, seed=101,
             proposal_cov=model.theta_proposal_cov(mp.laplace_cov),
         )
         u_cols = [
@@ -473,7 +474,7 @@ def bench_ess(args):
         emp_mean = u_pilot.mean(axis=0)
         pilot_s = time.time() - t0
         print(
-            f"# ess-mode[mwg] pilot {n_ch}x1200 in {pilot_s:.1f}s",
+            f"# ess-mode[mwg] pilot {n_ch}x{n_pilot} in {pilot_s:.1f}s",
             file=sys.stderr,
         )
         n_draws = args.mwg_samples
