@@ -392,6 +392,17 @@ def run_chains_chunked(
 
     def _cat(*xs):
         if isinstance(xs[0], jax.Array):
+            if len(xs[0].sharding.device_set) > 1:
+                # Assemble MESH-SHARDED draw blocks on host: an eager
+                # lax.concatenate over multi-device blocks intermittently
+                # SIGABRTs in the XLA:CPU client (captured by
+                # tools/crash_hunt.sh on the (2, 4) virtual mesh — the
+                # round-4 'Fatal Python error' flake).  Per-block readback
+                # is fine here: sharded runs already read host-local
+                # shards, and the single-device fast path below is what
+                # the tunneled-chip benches use.
+                hs = [host_local_array(x) for x in xs]
+                return np.concatenate(hs, axis=0) if len(hs) > 1 else hs[0]
             out = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
             return host_local_array(out)  # ONE readback per leaf per run
         return np.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
